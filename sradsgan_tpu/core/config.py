@@ -1,0 +1,152 @@
+"""Typed configuration for training / evaluation / data.
+
+Replaces the reference's per-main argparse clones (main_sradsgan.py:16-63 and
+its eight siblings) and the GDP JSON-with-comments system
+(GDP_x0/core/logger.py:21-107) with one dataclass tree.  Defaults mirror the
+reference's published run configs (SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class DataConfig:
+    data_dir: str = "data"
+    train_datasets: Tuple[str, ...] = ("AID", "DOTA", "LoveDA", "RSSCN7_2800",
+                                       "SECOND")
+    test_dataset: str = "UCMerced_LandUse"
+    crop_size: int = 216          # HR crop (reference trains on 216x216)
+    test_crop_size: int = 216
+    batch_size: int = 16
+    test_batch_size: int = 1
+    num_workers: int = 8
+    synthetic: bool = False       # deterministic random data (tests/bench)
+    synthetic_size: int = 512     # images in the synthetic set
+    device_degrade: bool = False  # degrade HR->LR on TPU instead of host PIL
+    max_train_samples: int = 100000
+
+
+@dataclasses.dataclass
+class OptimConfig:
+    lr: float = 2e-4
+    b1: float = 0.9
+    b2: float = 0.999
+    # Plateau backtracking (reference sradsgan.py:986-1036): after `patience`
+    # non-improving epochs reload the best checkpoint and halve the lr;
+    # training stops when lr < lr_floor (reference :804).
+    plateau_patience: int = 5
+    lr_floor: float = 1e-5
+    # Reference halves NDSRGAN lr every 12 epochs instead (ndsrgan.py:395-399)
+    step_decay_epochs: int = 0
+    step_decay_gamma: float = 0.5
+
+
+@dataclasses.dataclass
+class GanConfig:
+    gan_type: str = "wgan-gp"     # 'vanilla' | 'lsgan' | 'wgan-gp'
+    lambda_gp: float = 10.0
+    clip_value: float = 0.01      # D weight clipping (sradsgan.py:890-892)
+    weight_pixel: float = 1.0
+    weight_content: float = 1e-2  # VGG19 perceptual
+    weight_gan: float = 1e-3
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: str = "sradsgan"
+    scale: int = 4
+    num_channels: int = 3
+    num_epochs: int = 50
+    start_epoch: int = 0
+    save_epochs: int = 1
+    sample_interval: int = 100
+    seed: int = 0
+    save_dir: str = "Result"
+    # Chain training: warm-start G/D from a previous-scale checkpoint with
+    # the scale-specific upsample tail re-initialized (reference
+    # sradsgan.py:716-721, strict=False load).
+    init_from: Optional[str] = None
+    # Mixed precision: bfloat16 activations, float32 params/updates.
+    bf16: bool = True
+    # Data-parallel mesh size (number of devices; -1 = all local devices).
+    num_devices: int = -1
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    gan: GanConfig = dataclasses.field(default_factory=GanConfig)
+
+    @property
+    def model_dir(self) -> str:
+        import os
+        return os.path.join(self.save_dir,
+                            f"{self.model.upper()}_x{self.scale}")
+
+
+def config_for_model(model: str, scale: int, **overrides) -> TrainConfig:
+    """Per-model defaults matching the reference mains (SURVEY.md §3.5)."""
+    from sradsgan_tpu.models import get_spec
+
+    spec = get_spec(model)
+    cfg = TrainConfig(model=model, scale=scale)
+    cfg.optim.lr = spec.default_lr
+    cfg.gan.gan_type = spec.gan_type
+    cfg.gan.weight_pixel = spec.weight_pixel
+    cfg.gan.weight_content = spec.weight_content
+    cfg.gan.weight_gan = spec.weight_gan
+    if model == "ndsrgan":
+        cfg.optim.step_decay_epochs = 12
+        cfg.num_epochs = 47
+    if model == "edsr":
+        cfg.num_epochs = 3
+    for key, val in overrides.items():
+        obj = cfg
+        parts = key.split(".")
+        for part in parts[:-1]:
+            obj = getattr(obj, part)
+        if not hasattr(obj, parts[-1]):
+            raise AttributeError(f"unknown config field {key!r}")
+        setattr(obj, parts[-1], val)
+    return cfg
+
+
+def _to_dict(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj):
+        return {f.name: _to_dict(getattr(obj, f.name))
+                for f in dataclasses.fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_to_dict(v) for v in obj]
+    return obj
+
+
+def save_config(cfg: TrainConfig, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(_to_dict(cfg), f, indent=2)
+
+
+def load_config(path: str) -> TrainConfig:
+    """Load a TrainConfig from JSON (tolerates // comments, GDP-style)."""
+    with open(path) as f:
+        text = "".join(line.split("//")[0] for line in f)
+    raw: Dict[str, Any] = json.loads(text)
+
+    def build(cls, d):
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            if dataclasses.is_dataclass(f.type) or f.name in ("data", "optim",
+                                                              "gan"):
+                sub = {"data": DataConfig, "optim": OptimConfig,
+                       "gan": GanConfig}[f.name]
+                kwargs[f.name] = build(sub, v)
+            elif f.name == "train_datasets":
+                kwargs[f.name] = tuple(v)
+            else:
+                kwargs[f.name] = v
+        return cls(**kwargs)
+
+    return build(TrainConfig, raw)

@@ -1,0 +1,59 @@
+"""Patch discriminators for the GAN models.
+
+One parametric implementation covers the zoo:
+
+- SRGAN / NDSRGAN style: 8 stacked conv blocks (3x3 or 4x4), stride 1/2
+  alternating, BatchNorm except the first, LeakyReLU(0.2), 3x3 conv to a
+  1-channel patch logit map (reference srgan.py:123-155, ndsrgan.py:213-238);
+- SRADSGAN / SRAGAN style: same trunk with CBAM channel+spatial attention
+  inserted after block 6 (reference sradsgan.py:470-508).  (The reference
+  also *intends* CAM/PAM after block 8, but its ``if layers == 8`` compares
+  a list to an int and never fires — sradsgan.py:496; we reproduce the
+  effective network and expose ``use_global_attention`` for the intended
+  variant.)
+- DRCAN style: base_networks.Discriminator:1747 — same 8-block family.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+from flax import linen as nn
+
+from sradsgan_tpu.nn.attention import (ChannelGate, ChannelSelfAttention,
+                                       SpatialGate, SpatialSelfAttention)
+from sradsgan_tpu.nn.blocks import default_kernel_init
+
+# (out_filters, stride, normalize) — shared by srgan/sradsgan/sragan Ds.
+_DEFAULT_BLOCKS: Tuple[Tuple[int, int, bool], ...] = (
+    (64, 1, False), (64, 2, True), (128, 1, True), (128, 2, True),
+    (256, 1, True), (256, 2, True), (512, 1, True), (512, 2, True),
+)
+
+
+class PatchDiscriminator(nn.Module):
+    blocks: Sequence[Tuple[int, int, bool]] = _DEFAULT_BLOCKS
+    kernel_size: int = 3
+    use_attention: bool = False       # CBAM gates after block 6
+    use_global_attention: bool = False  # CAM/PAM after block 8 (intended-only)
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel_size
+        for i, (filters, stride, normalize) in enumerate(self.blocks, 1):
+            x = nn.Conv(filters, (k, k), strides=(stride, stride),
+                        padding="SAME", kernel_init=default_kernel_init,
+                        dtype=self.dtype)(x)
+            if normalize:
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=self.dtype)(x)
+            x = nn.leaky_relu(x, 0.2)
+            if self.use_attention and i == 6:
+                x = ChannelGate(ratio=16, dtype=self.dtype)(x)
+                x = SpatialGate(dtype=self.dtype)(x)
+            if self.use_global_attention and i == 8:
+                x = ChannelSelfAttention(dtype=self.dtype)(x)
+                x = SpatialSelfAttention(dtype=self.dtype)(x)
+        return nn.Conv(1, (3, 3), padding="SAME",
+                       kernel_init=default_kernel_init, dtype=self.dtype)(x)

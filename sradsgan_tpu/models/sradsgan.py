@@ -1,0 +1,138 @@
+"""SRADSGAN generator — the flagship stratified dense-sampling network.
+
+Reference: model/sradsgan.py:420-468 (GeneratorResNet).  Structure:
+
+- MSB multi-scale stem: 3x3 || 1x1->3x3 || 1x1 branches, concat + 1x1 fuse,
+  LeakyReLU(0.01) (sradsgan.py:326-345);
+- conv1 head: 3x3 + LeakyReLU(0.01);
+- 12 ResGroups x 3 RAB; each RAB is a 4x-wide conv pair (64->256->64,
+  LeakyReLU 0.2 between) followed by CLAM channel + SLAM spatial local
+  attention and a 1x1 fuse conv, residual (sradsgan.py:215-275);
+- stratified dense sampling: outputs of conv1+MSB and of *every* group are
+  summed into a running ``out_all`` while ``out`` chains group to group
+  (sradsgan.py:450-462);
+- GAB_UP: CGAM channel + SGAM spatial global self-attention, 1x1 fuse, then
+  the shared sub-pixel upsample law (sradsgan.py:365-418);
+- plain 3x3 output conv.
+
+TPU notes: everything static-shaped NHWC.  The dense-sampling running sum is
+a Python loop over 12 groups — unrolled at trace time into one fused graph.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from flax import linen as nn
+
+from sradsgan_tpu.nn.attention import GlobalAttention, LocalAttention
+from sradsgan_tpu.nn.blocks import ConvBlock, default_kernel_init, UpsampleHead
+
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class MSB(nn.Module):
+    """Multi-scale input stem (reference sradsgan.py:326-345)."""
+
+    features: int = 64
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.features
+        out1 = nn.Conv(f, (3, 3), padding="SAME",
+                       kernel_init=default_kernel_init, dtype=self.dtype)(x)
+        out2 = nn.Conv(f, (1, 1), kernel_init=default_kernel_init,
+                       dtype=self.dtype)(x)
+        out2 = nn.Conv(f, (3, 3), padding="SAME",
+                       kernel_init=default_kernel_init, dtype=self.dtype)(out2)
+        out3 = nn.Conv(f, (1, 1), kernel_init=default_kernel_init,
+                       dtype=self.dtype)(x)
+        out = jnp.concatenate([out1, out2, out3], axis=-1)
+        out = nn.Conv(f, (1, 1), kernel_init=default_kernel_init,
+                      dtype=self.dtype)(out)
+        return nn.leaky_relu(out, 0.01)
+
+
+class RAB(nn.Module):
+    """Residual attention block: wide conv pair + CLAM/SLAM (sradsgan.py:215-275)."""
+
+    features: int = 64
+    expand: int = 4
+    la_mode: str = "CA-SA"
+    pool_mode: str = "Avg|Max"
+    add_conv: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.features
+        out = nn.Conv(self.expand * f, (3, 3), padding="SAME",
+                      kernel_init=default_kernel_init, dtype=self.dtype)(x)
+        out = nn.leaky_relu(out, 0.2)
+        out = nn.Conv(f, (3, 3), padding="SAME",
+                      kernel_init=default_kernel_init, dtype=self.dtype)(out)
+        out = LocalAttention(self.la_mode, self.pool_mode, self.add_conv,
+                             dtype=self.dtype)(out)
+        return out + x
+
+
+class ResGroup(nn.Module):
+    """n RABs + group-level local attention + skip (sradsgan.py:277-324)."""
+
+    features: int = 64
+    n_blocks: int = 3
+    rla_mode: str = "CA-SA"
+    bla_mode: str = "CA-SA"
+    pool_mode: str = "Avg|Max"
+    add_conv: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        out = x
+        for _ in range(self.n_blocks):
+            out = RAB(self.features, la_mode=self.bla_mode,
+                      pool_mode=self.pool_mode, add_conv=self.add_conv,
+                      dtype=self.dtype)(out)
+        out = LocalAttention(self.rla_mode, self.pool_mode, self.add_conv,
+                             dtype=self.dtype)(out)
+        return out + x
+
+
+class SRADSGANGenerator(nn.Module):
+    scale: int = 4
+    num_channels: int = 3
+    base_filters: int = 64
+    n_groups: int = 12
+    n_blocks: int = 3
+    rla_mode: str = "CA-SA"
+    bla_mode: str = "CA-SA"
+    ga_mode: str = "CA-SA"
+    pool_mode: str = "Avg|Max"
+    add_conv: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.base_filters
+        msb = MSB(f, dtype=self.dtype)(x)
+        out = nn.Conv(f, (3, 3), padding="SAME",
+                      kernel_init=default_kernel_init, dtype=self.dtype)(x)
+        out = nn.leaky_relu(out, 0.01)
+
+        out_all = msb + out
+        for _ in range(self.n_groups):  # stratified dense sampling
+            out = ResGroup(f, self.n_blocks, self.rla_mode, self.bla_mode,
+                           self.pool_mode, self.add_conv,
+                           dtype=self.dtype)(out)
+            out_all = out_all + out
+
+        # GAB_UP: global attention + sub-pixel upsampling (sradsgan.py:365-418)
+        out_all = GlobalAttention(self.ga_mode, self.add_conv,
+                                  dtype=self.dtype)(out_all)
+        out_all = UpsampleHead(f, self.scale, activation="lrelu01",
+                               dtype=self.dtype)(out_all)
+        return ConvBlock(self.num_channels, 3, dtype=self.dtype)(out_all)

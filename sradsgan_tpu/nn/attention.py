@@ -1,0 +1,228 @@
+"""Attention blocks shared across the model zoo.
+
+One implementation each for the four attention families the reference
+duplicates across files:
+
+- ``ChannelGate`` — CBAM-style channel attention; the reference's CLAM
+  (model/sradsgan.py:101-127) and base_networks.ChannelAttention:366.
+- ``SpatialGate`` — CBAM-style spatial attention; SLAM (sradsgan.py:129-151)
+  and base_networks.SpatialAttention:424.
+- ``SpatialSelfAttention`` — full spatial self-attention with learned
+  residual gain; SGAM (sradsgan.py:153-176) and PAM_Module
+  (base_networks.py:480).
+- ``ChannelSelfAttention`` — Gram-matrix channel self-attention with the
+  max-subtraction trick; CGAM (sradsgan.py:178-213) and CAM_Module
+  (base_networks.py:513).
+- ``CALayer`` — RCAN squeeze-excite channel attention (drcan.py:95-113).
+- ``LocalAttention`` — the CA/SA composition grammar ('CA', 'SA', 'CA-SA',
+  'SA-CA', 'CA|SA') with optional fusion conv, used by RAB/ResGroup/GAB
+  (sradsgan.py:242-275).
+
+All NHWC; self-attention is expressed as einsums so XLA maps the
+contractions onto the MXU with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sradsgan_tpu.nn.blocks import default_kernel_init
+
+Dtype = Any
+
+
+class ChannelGate(nn.Module):
+    """sigmoid(MLP(avgpool) + MLP(maxpool)) * x, shared MLP, no biases."""
+
+    ratio: int = 16
+    pool_mode: str = "Avg|Max"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        hidden = max(c // self.ratio, 1)
+        fc1 = nn.Dense(hidden, use_bias=False,
+                       kernel_init=default_kernel_init, dtype=self.dtype)
+        fc2 = nn.Dense(c, use_bias=False,
+                       kernel_init=default_kernel_init, dtype=self.dtype)
+        mlp = lambda v: fc2(nn.relu(fc1(v)))
+
+        out = 0.0
+        if "Avg" in self.pool_mode:
+            out = out + mlp(jnp.mean(x, axis=(1, 2)))
+        if "Max" in self.pool_mode:
+            out = out + mlp(jnp.max(x, axis=(1, 2)))
+        return nn.sigmoid(out)[:, None, None, :] * x
+
+
+class SpatialGate(nn.Module):
+    """sigmoid(conv7x7([mean_c; max_c])) * x, no bias."""
+
+    kernel_size: int = 7
+    pool_mode: str = "Avg|Max"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        if "Avg" in self.pool_mode:
+            feats.append(jnp.mean(x, axis=-1, keepdims=True))
+        if "Max" in self.pool_mode:
+            feats.append(jnp.max(x, axis=-1, keepdims=True))
+        s = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
+        s = nn.Conv(1, (self.kernel_size, self.kernel_size), padding="SAME",
+                    use_bias=False, kernel_init=default_kernel_init,
+                    dtype=self.dtype)(s)
+        return nn.sigmoid(s) * x
+
+
+class SpatialSelfAttention(nn.Module):
+    """Position self-attention with zero-init residual gain (SGAM/PAM).
+
+    q, k project to C//8; attention is softmax over key positions; output is
+    ``gamma * attn(v) + x`` with gamma initialized to 0 so the block starts
+    as identity (reference sradsgan.py:160 ``Parameter(torch.zeros(1))``).
+    """
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        inner = max(c // 8, 1)
+        q = nn.Conv(inner, (1, 1), kernel_init=default_kernel_init,
+                    dtype=self.dtype)(x).reshape(b, h * w, inner)
+        k = nn.Conv(inner, (1, 1), kernel_init=default_kernel_init,
+                    dtype=self.dtype)(x).reshape(b, h * w, inner)
+        v = nn.Conv(c, (1, 1), kernel_init=default_kernel_init,
+                    dtype=self.dtype)(x).reshape(b, h * w, c)
+        energy = jnp.einsum("bqd,bkd->bqk", q, k)
+        attn = nn.softmax(energy, axis=-1)
+        out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
+        return gamma.astype(x.dtype) * out + x
+
+
+class ChannelSelfAttention(nn.Module):
+    """Gram-matrix channel attention with max-subtraction (CGAM/CAM).
+
+    energy[i, j] = <x_i, x_j> over positions; attention row-softmaxed over
+    ``max(energy) - energy``; output ``gamma * attn @ x + x``, gamma zero-init.
+    """
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        flat = x.reshape(b, h * w, c)
+        energy = jnp.einsum("bnc,bnd->bcd", flat, flat)
+        energy_new = jnp.max(energy, axis=-1, keepdims=True) - energy
+        attn = nn.softmax(energy_new, axis=-1)
+        out = jnp.einsum("bcd,bnd->bnc", attn, flat).reshape(b, h, w, c)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
+        return gamma.astype(x.dtype) * out + x
+
+
+class CALayer(nn.Module):
+    """RCAN squeeze-and-excite: sigmoid(conv(relu(conv(avgpool)))) * x."""
+
+    reduction: int = 16
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        s = jnp.mean(x, axis=(1, 2))
+        s = nn.Dense(max(c // self.reduction, 1), use_bias=True,
+                     kernel_init=default_kernel_init, dtype=self.dtype)(s)
+        s = nn.relu(s)
+        s = nn.Dense(c, use_bias=True, kernel_init=default_kernel_init,
+                     dtype=self.dtype)(s)
+        return nn.sigmoid(s)[:, None, None, :] * x
+
+
+class LocalAttention(nn.Module):
+    """The reference's CA/SA composition grammar with optional fusion conv.
+
+    mode: '' | 'CA' | 'SA' | 'CA-SA' | 'SA-CA' | 'CA|SA'
+    '-' = sequential (+1x1 conv if add_conv), '|' = parallel concat + 1x1.
+    Reference: model/sradsgan.py:242-275.
+    """
+
+    mode: str = "CA-SA"
+    pool_mode: str = "Avg|Max"
+    add_conv: bool = True
+    ratio: int = 16
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        if self.mode == "":
+            return nn.Conv(c, (1, 1), kernel_init=default_kernel_init,
+                           dtype=self.dtype)(x)
+        ca = (ChannelGate(self.ratio, self.pool_mode, dtype=self.dtype)
+              if "CA" in self.mode else None)
+        sa = (SpatialGate(7, self.pool_mode, dtype=self.dtype)
+              if "SA" in self.mode else None)
+        if self.mode == "CA":
+            return ca(x)
+        if self.mode == "SA":
+            return sa(x)
+        if self.mode == "CA-SA":
+            out = sa(ca(x))
+        elif self.mode == "SA-CA":
+            out = ca(sa(x))
+        elif self.mode == "CA|SA":
+            out = jnp.concatenate([ca(x), sa(x)], axis=-1)
+            return nn.Conv(c, (1, 1), kernel_init=default_kernel_init,
+                           dtype=self.dtype)(out)
+        else:
+            raise ValueError(f"unknown attention mode {self.mode!r}")
+        if self.add_conv:
+            out = nn.Conv(c, (1, 1), kernel_init=default_kernel_init,
+                          dtype=self.dtype)(out)
+        return out
+
+
+class GlobalAttention(nn.Module):
+    """CGAM/SGAM composition for the global attention block (GAB).
+
+    Same grammar as :class:`LocalAttention` but with the self-attention
+    modules.  Reference: model/sradsgan.py:365-418 (GAB_UP attention part).
+    """
+
+    mode: str = "CA-SA"
+    add_conv: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        ca = (ChannelSelfAttention(dtype=self.dtype)
+              if "CA" in self.mode else None)
+        sa = (SpatialSelfAttention(dtype=self.dtype)
+              if "SA" in self.mode else None)
+        if self.mode == "CA":
+            return ca(x)
+        if self.mode == "SA":
+            return sa(x)
+        if self.mode == "CA-SA":
+            out = sa(ca(x))
+        elif self.mode == "SA-CA":
+            out = ca(sa(x))
+        elif self.mode == "CA|SA":
+            out = jnp.concatenate([ca(x), sa(x)], axis=-1)
+            return nn.Conv(c, (1, 1), kernel_init=default_kernel_init,
+                           dtype=self.dtype)(out)
+        else:
+            raise ValueError(f"unknown attention mode {self.mode!r}")
+        if self.add_conv:
+            out = nn.Conv(c, (1, 1), kernel_init=default_kernel_init,
+                          dtype=self.dtype)(out)
+        return out

@@ -43,24 +43,37 @@ def _cubic(x: np.ndarray, a: float = -0.5) -> np.ndarray:
     return np.where(ax < 1.0, inner, np.where(ax < 2.0, outer, 0.0))
 
 
+def _linear(x: np.ndarray) -> np.ndarray:
+    """PIL's bilinear (triangle) kernel, support 1."""
+    ax = np.abs(x)
+    return np.where(ax < 1.0, 1.0 - ax, 0.0)
+
+
+_FILTERS = {"bicubic": (_cubic, 2.0), "bilinear": (_linear, 1.0)}
+
+
 @functools.lru_cache(maxsize=256)
-def resize_matrix(in_size: int, out_size: int) -> np.ndarray:
-    """Dense (out_size, in_size) PIL-bicubic resampling matrix, float32.
+def resize_matrix(in_size: int, out_size: int,
+                  method: str = "bicubic") -> np.ndarray:
+    """Dense (out_size, in_size) PIL resampling matrix, float32.
 
     Mirrors PIL's ``precompute_coeffs``: output pixel centers at
     (i + 0.5) * in/out, support widened by the scale factor when
-    downsampling, weights normalized to sum to one.
+    downsampling, weights normalized to sum to one.  ``method`` is
+    'bicubic' or 'bilinear' (the reference uses bilinear for test-time LR:
+    torchvision ``Resize`` default in data/data.py:330).
     """
+    kernel, base_support = _FILTERS[method]
     scale = in_size / out_size
     filterscale = max(scale, 1.0)
-    support = 2.0 * filterscale  # bicubic support = 2
+    support = base_support * filterscale
     w = np.zeros((out_size, in_size), dtype=np.float64)
     for i in range(out_size):
         center = (i + 0.5) * scale
         xmin = max(int(center - support + 0.5), 0)
         xmax = min(int(center + support + 0.5), in_size)
         xs = np.arange(xmin, xmax, dtype=np.float64)
-        weights = _cubic((xs - center + 0.5) / filterscale)
+        weights = kernel((xs - center + 0.5) / filterscale)
         total = weights.sum()
         if total != 0.0:
             weights = weights / total
@@ -68,34 +81,39 @@ def resize_matrix(in_size: int, out_size: int) -> np.ndarray:
     return w.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _resize_impl(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _resize_impl(x: jnp.ndarray, out_h: int, out_w: int,
+                 method: str = "bicubic") -> jnp.ndarray:
     in_h, in_w = x.shape[1], x.shape[2]
-    wh = jnp.asarray(resize_matrix(in_h, out_h))
-    ww = jnp.asarray(resize_matrix(in_w, out_w))
+    wh = jnp.asarray(resize_matrix(in_h, out_h, method))
+    ww = jnp.asarray(resize_matrix(in_w, out_w, method))
     # Horizontal pass first (PIL order); two MXU matmuls.
     x = jnp.einsum("ow,bhwc->bhoc", ww, x, precision=jax.lax.Precision.HIGHEST)
     x = jnp.einsum("oh,bhwc->bowc", wh, x, precision=jax.lax.Precision.HIGHEST)
     return x
 
 
-def bicubic_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """Resize an NHWC (or HWC) float batch with PIL-bicubic semantics."""
+def bicubic_resize(x: jnp.ndarray, out_h: int, out_w: int,
+                   method: str = "bicubic") -> jnp.ndarray:
+    """Resize an NHWC (or HWC) float batch with PIL resize semantics."""
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
-    out = _resize_impl(x, out_h, out_w)
+    out = _resize_impl(x, out_h, out_w, method)
     return out[0] if squeeze else out
 
 
-def degrade_pair(hr: jnp.ndarray, scale: int):
+def degrade_pair(hr: jnp.ndarray, scale: int, lr_method: str = "bicubic"):
     """HR batch -> (LR, bicubic-upsampled-LR), the reference's data triplet.
 
     Reference: data/dataset.py:428-436 builds (lr, hr, bc) with PIL bicubic
-    down and LR->HR re-up.  Output LR is clipped to [0, 1] before re-upsampling
+    down and LR->HR re-up at train time; at test time the LR downsample is
+    bilinear (torchvision Resize default, data/data.py:330) while the twin
+    re-up stays bicubic.  Output LR is clipped to [0, 1] before re-upsampling
     to mirror the uint8 PIL intermediate.
     """
     h, w = hr.shape[-3], hr.shape[-2]
-    lr = jnp.clip(bicubic_resize(hr, h // scale, w // scale), 0.0, 1.0)
-    bc = bicubic_resize(lr, h, w)
+    lr = jnp.clip(bicubic_resize(hr, h // scale, w // scale, lr_method),
+                  0.0, 1.0)
+    bc = bicubic_resize(lr, h, w, "bicubic")
     return lr, bc

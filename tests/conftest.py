@@ -13,6 +13,3 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax  # noqa: E402
-
-jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,65 @@
+"""Shape/dtype tests for the generator zoo and discriminators."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sradsgan_tpu.models import (available_models, create_discriminator,
+                                 create_generator, get_spec)
+
+CNN_MODELS = ["edsr", "srgan", "drcan", "dssr", "sragan", "ndsrgan",
+              "amssrn", "sradsgan"]
+
+
+def _init_and_apply(model, x, train=False):
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    kwargs = {}
+    if "batch_stats" in variables:
+        out = model.apply(variables, x, train=train,
+                          mutable=["batch_stats"] if train else False)
+        return out[0] if train else out
+    return model.apply(variables, x, train=train)
+
+
+@pytest.mark.parametrize("name", CNN_MODELS)
+def test_generator_x2_shapes(name):
+    model = create_generator(name, scale=2)
+    x = jnp.zeros((1, 24, 24, 3), jnp.float32)
+    y = _init_and_apply(model, x)
+    assert y.shape == (1, 48, 48, 3)
+    assert y.dtype == jnp.float32
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4, 8, 9])
+def test_sradsgan_all_scales(scale):
+    model = create_generator("sradsgan", scale=scale)
+    x = jnp.zeros((1, 12, 12, 3), jnp.float32)
+    y = _init_and_apply(model, x)
+    assert y.shape == (1, 12 * scale, 12 * scale, 3)
+
+
+@pytest.mark.parametrize("name", ["sradsgan", "srgan", "ndsrgan"])
+def test_discriminator_output_patch_map(name):
+    d = create_discriminator(name)
+    x = jnp.zeros((2, 48, 48, 3), jnp.float32)
+    variables = d.init(jax.random.PRNGKey(0), x, train=False)
+    y = d.apply(variables, x, train=False)
+    assert y.shape[0] == 2 and y.shape[-1] == 1
+    assert y.ndim == 4  # patch logit map
+
+
+def test_generator_not_trivially_zero():
+    model = create_generator("edsr", scale=2, num_residuals=2,
+                             base_filters=16)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    y = _init_and_apply(model, x)
+    assert float(jnp.abs(y).max()) > 0
+
+
+def test_registry_complete():
+    missing = set(CNN_MODELS) - set(available_models())
+    assert not missing
+    spec = get_spec("sradsgan")
+    assert spec.adversarial and spec.gan_type == "wgan-gp"
