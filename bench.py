@@ -1,0 +1,72 @@
+"""Benchmark: SRADSGAN x4 GAN training throughput in megapixels/sec/chip.
+
+Measures the full jitted train step (G fwd/bwd + VGG content + D update with
+WGAN-GP grad-of-grad + weight clip) on real hardware, batch 16 of 216x216 HR
+crops — the reference's published training configuration
+(main_sradsgan.py:31-43, DataLoader batch_size=16 at sradsgan.py:643-652).
+
+Baseline: the reference repo publishes no machine-readable numbers
+(BASELINE.md); the denominator is an estimate of its single-GPU training
+throughput on the paper-era setup (PyTorch 1.8.1 / CUDA 11.1, one 2080Ti-class
+GPU, README.md:91): ~1.5 it/s x 16 x 216^2 px ~= 1.1 MP/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_MPS = 1.1  # estimated reference single-GPU throughput (see above)
+
+
+def main():
+    import jax
+
+    from sradsgan_tpu.core.config import config_for_model
+    from sradsgan_tpu.parallel.mesh import shard_batch
+    from sradsgan_tpu.train.trainer import Trainer
+
+    cfg = config_for_model("sradsgan", 4)
+    cfg.data.synthetic = True
+    cfg.data.crop_size = 216
+    cfg.data.batch_size = 16
+    cfg.save_dir = "/tmp/sradsgan_tpu_bench"
+    trainer = Trainer(cfg)
+
+    rng = np.random.default_rng(0)
+    batch = shard_batch({
+        "lr": rng.random((16, 54, 54, 3)).astype(np.float32),
+        "hr": rng.random((16, 216, 216, 3)).astype(np.float32),
+        "bc": rng.random((16, 216, 216, 3)).astype(np.float32),
+    }, trainer.mesh)
+    key = jax.random.PRNGKey(0)
+
+    state = trainer.state
+    # warmup / compile
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        state, metrics = trainer._jit_step(state, batch, k)
+    jax.block_until_ready(metrics["loss_G"])
+
+    steps = 10
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, k = jax.random.split(key)
+        state, metrics = trainer._jit_step(state, batch, k)
+    jax.block_until_ready(metrics["loss_G"])
+    dt = time.perf_counter() - t0
+
+    n_chips = trainer.mesh.devices.size
+    mps_per_chip = steps * 16 * 216 * 216 / 1e6 / dt / n_chips
+    print(json.dumps({
+        "metric": "sradsgan_x4_train_throughput",
+        "value": round(mps_per_chip, 3),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(mps_per_chip / REFERENCE_MPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,8 @@ class TrainConfig:
     bf16: bool = True
     # Data-parallel mesh size (number of devices; -1 = all local devices).
     num_devices: int = -1
+    # Extra generator constructor kwargs (e.g. smaller test networks).
+    model_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     gan: GanConfig = dataclasses.field(default_factory=GanConfig)

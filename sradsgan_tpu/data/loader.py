@@ -1,0 +1,101 @@
+"""Batching + background prefetch + device sharding.
+
+Replaces the reference's ``DataLoader(num_workers=16, pin_memory)`` +
+synchronous ``input_lr.copy_(input)`` H2D copies (sradsgan.py:643-656,
+:821-823) — and its *unused* CUDA-stream DataPrefetcher (data/dataset.py:
+55-86) — with a thread-pool loader that decodes/degrades on host while the
+TPU computes, and double-buffers ``jax.device_put`` transfers with the batch
+pre-sharded over the data mesh.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from sradsgan_tpu.parallel.mesh import shard_batch
+
+
+def _collate(samples) -> Dict[str, np.ndarray]:
+    batch = {k: np.stack([s[k] for s in samples]) for k in ("lr", "hr", "bc")}
+    batch["path"] = [s["path"] for s in samples]
+    return batch
+
+
+class DataLoader:
+    """Epoch iterator over a dataset yielding collated numpy batches."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 8,
+                 seed: int = 0, augment_rng: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.seed = seed
+        self.augment_rng = augment_rng
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        rng = np.random.default_rng(self.seed + self._epoch)
+        if self.shuffle:
+            rng.shuffle(order)
+        self._epoch += 1
+
+        stop = n - (n % self.batch_size) if self.drop_last else n
+        indices = [order[i:i + self.batch_size]
+                   for i in range(0, stop, self.batch_size)]
+        if not indices:
+            return
+
+        def load_one(idx):
+            r = (np.random.default_rng(self.seed * 100003 + int(idx))
+                 if self.augment_rng else None)
+            return self.dataset.load(int(idx), r)
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            # Pipeline: submit batch i+1 while yielding batch i.
+            pending = pool.map(load_one, indices[0])
+            for nxt in indices[1:]:
+                samples = list(pending)
+                pending = pool.map(load_one, nxt)
+                yield _collate(samples)
+            yield _collate(list(pending))
+
+
+def device_prefetch(iterator, mesh, depth: int = 2):
+    """Move batches to device ahead of consumption (double buffering)."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                paths = batch.pop("path", None)
+                sharded = shard_batch(batch, mesh)
+                if paths is not None:
+                    sharded["path"] = paths
+                q.put(sharded)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item

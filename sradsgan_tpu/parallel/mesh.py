@@ -1,0 +1,62 @@
+"""Device mesh and sharding helpers.
+
+The reference is single-GPU (its ``nn.DataParallel`` branches are dead code,
+SURVEY.md §2.7); here data parallelism is first-class: one jitted train step
+is pjit-sharded over a 1-D ``data`` mesh, XLA inserting the gradient psum
+over ICI.  A second optional ``model`` axis is reserved for spatial/tensor
+sharding of large-scene inference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(num_devices: int = -1,
+                devices: Optional[list] = None) -> Mesh:
+    """1-D data-parallel mesh over local devices."""
+    devs = devices if devices is not None else jax.devices()
+    if num_devices and num_devices > 0:
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put a pytree of host arrays, batch axis split over the mesh."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_batch_to_devices(batch: Any, mesh: Mesh) -> Any:
+    """Pad the leading axis so it divides the mesh size (eval tail batches)."""
+    n = mesh.devices.size
+
+    def _pad(x):
+        rem = x.shape[0] % n
+        if rem == 0:
+            return x
+        pad = [(0, n - rem)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, pad, mode="edge")
+
+    return jax.tree.map(_pad, batch)
