@@ -1,0 +1,192 @@
+"""Command-line interface.
+
+One entry point replaces the reference's nine ``main_*.py`` clones
+(SURVEY.md §3.5) and the GDP ``sr_mfe.py``:
+
+    python -m sradsgan_tpu.cli train    --model sradsgan --scale 4 ...
+    python -m sradsgan_tpu.cli validate --model sradsgan --scale 4 --ckpt ...
+    python -m sradsgan_tpu.cli validate-by-class --model ... --ckpt ...
+    python -m sradsgan_tpu.cli infer    --model sradsgan --scale 3 --image x.tif
+    python -m sradsgan_tpu.cli diffusion-train / diffusion-sample ...
+
+Every reference main runs train() then mfeNew_validateByClass(save_img=True)
+(main_sradsgan.py:121-128); ``train`` here does the same unless
+--no-final-eval.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model", default="sradsgan")
+    p.add_argument("--scale", type=int, default=4)
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--test-dataset", default="UCMerced_LandUse")
+    p.add_argument("--data", choices=["folder", "synthetic"],
+                   default="folder")
+    p.add_argument("--crop-size", type=int, default=216)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--save-dir", default="Result")
+    p.add_argument("--no-bf16", action="store_true")
+    p.add_argument("--config", help="JSON TrainConfig overriding flags")
+
+
+def _build_cfg(args):
+    from sradsgan_tpu.core.config import config_for_model, load_config
+
+    if args.config:
+        return load_config(args.config)
+    cfg = config_for_model(args.model, args.scale)
+    cfg.data.data_dir = args.data_dir
+    cfg.data.test_dataset = args.test_dataset
+    cfg.data.synthetic = args.data == "synthetic"
+    cfg.data.crop_size = args.crop_size
+    cfg.data.test_crop_size = args.crop_size
+    cfg.data.batch_size = args.batch_size
+    cfg.save_dir = args.save_dir
+    cfg.bf16 = not args.no_bf16
+    return cfg
+
+
+def _load_eval_model(args, ckpt):
+    import jax
+    import jax.numpy as jnp
+    from sradsgan_tpu.core.checkpoint import restore_pytree
+    from sradsgan_tpu.models import create_generator
+
+    generator = create_generator(args.model, args.scale)
+    lr = args.crop_size // args.scale
+    variables = generator.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, lr, lr, 3), jnp.float32),
+                               train=False)
+    if ckpt:
+        state = restore_pytree(ckpt)
+        import jax as _jax
+        variables = dict(variables)
+        variables["params"] = _jax.tree.map(jnp.asarray, state["g_params"])
+        if state.get("g_stats"):
+            variables["batch_stats"] = _jax.tree.map(jnp.asarray,
+                                                     state["g_stats"])
+    return generator, variables
+
+
+def cmd_train(args) -> int:
+    from sradsgan_tpu.train.trainer import Trainer
+
+    cfg = _build_cfg(args)
+    if args.epochs is not None:
+        cfg.num_epochs = args.epochs
+    if args.init_from:
+        cfg.init_from = args.init_from
+    trainer = Trainer(cfg)
+    metrics = trainer.train(num_steps=args.steps)
+    print(json.dumps({"final": metrics}))
+    if not args.no_final_eval:
+        from sradsgan_tpu.evaluation.validate import (
+            format_by_class_table, mfe_new_validate_by_class)
+        variables = {"params": trainer.state.g_params}
+        if trainer.state.g_stats:
+            variables["batch_stats"] = trainer.state.g_stats
+        table = mfe_new_validate_by_class(
+            trainer.generator, variables, cfg.data, cfg.scale,
+            save_img=args.save_img,
+            save_dir=os.path.join(cfg.model_dir, "eval"))
+        print(format_by_class_table(table))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from sradsgan_tpu.core.config import config_for_model
+    from sradsgan_tpu.evaluation.validate import mfe_new_validate
+
+    cfg = _build_cfg(args)
+    generator, variables = _load_eval_model(args, args.ckpt)
+    out = mfe_new_validate(generator, variables, cfg.data, args.scale,
+                           save_img=args.save_img,
+                           save_dir=os.path.join(cfg.model_dir, "eval"))
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_validate_by_class(args) -> int:
+    from sradsgan_tpu.evaluation.validate import (format_by_class_table,
+                                                  mfe_new_validate_by_class)
+
+    cfg = _build_cfg(args)
+    generator, variables = _load_eval_model(args, args.ckpt)
+    table = mfe_new_validate_by_class(
+        generator, variables, cfg.data, args.scale, save_img=args.save_img,
+        save_dir=os.path.join(cfg.model_dir, "eval"))
+    print(format_by_class_table(table))
+    return 0
+
+
+def cmd_infer(args) -> int:
+    from sradsgan_tpu.evaluation.validate import mfe_test_single
+
+    generator, variables = _load_eval_model(args, args.ckpt)
+    out = mfe_test_single(generator, variables, args.image, args.scale,
+                          args.out_dir, crop_size=args.test_crop)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_list_models(_args) -> int:
+    from sradsgan_tpu.models import available_models, get_spec
+
+    for name in available_models():
+        spec = get_spec(name)
+        kind = f"GAN({spec.gan_type})" if spec.adversarial else "pixel"
+        print(f"{name:<10} {kind}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="sradsgan_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="train a model (then eval by class)")
+    _add_common(p)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--steps", type=int, default=None,
+                   help="stop after N optimizer steps (smoke runs)")
+    p.add_argument("--init-from", help="chain-training checkpoint")
+    p.add_argument("--save-img", action="store_true")
+    p.add_argument("--no-final-eval", action="store_true")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("validate", help="mfeNew_validate protocol")
+    _add_common(p)
+    p.add_argument("--ckpt")
+    p.add_argument("--save-img", action="store_true")
+    p.set_defaults(fn=cmd_validate)
+
+    p = sub.add_parser("validate-by-class",
+                       help="mfeNew_validateByClass protocol")
+    _add_common(p)
+    p.add_argument("--ckpt")
+    p.add_argument("--save-img", action="store_true")
+    p.set_defaults(fn=cmd_validate_by_class)
+
+    p = sub.add_parser("infer", help="single-image SR (mfe_test_single)")
+    _add_common(p)
+    p.add_argument("--image", required=True)
+    p.add_argument("--ckpt")
+    p.add_argument("--out-dir", default="Result/single")
+    p.add_argument("--test-crop", type=int, default=None)
+    p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("list-models")
+    p.set_defaults(fn=cmd_list_models)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

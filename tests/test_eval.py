@@ -1,0 +1,62 @@
+"""Evaluation-protocol tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sradsgan_tpu.core.config import DataConfig
+from sradsgan_tpu.evaluation.validate import (format_by_class_table,
+                                              mfe_new_validate,
+                                              mfe_new_validate_by_class,
+                                              mfe_test_single)
+from sradsgan_tpu.models import create_generator
+
+
+def _tiny_model(scale=2):
+    model = create_generator("edsr", scale=scale, base_filters=8,
+                             num_residuals=1)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 16, 3)), train=False)
+    return model, variables
+
+
+def _cfg():
+    return DataConfig(synthetic=True, synthetic_size=16, crop_size=32,
+                      test_crop_size=32, test_batch_size=4)
+
+
+def test_mfe_new_validate_reports_sr_and_bicubic():
+    model, variables = _tiny_model()
+    out = mfe_new_validate(model, variables, _cfg(), 2)
+    for side in ("sr", "bicubic"):
+        for k in ("mse", "psnr", "ssim", "ergas"):
+            assert np.isfinite(out[side][k]), (side, k, out)
+    # untrained SR must lose to bicubic; bicubic twin must be reasonable
+    assert out["bicubic"]["psnr"] > out["sr"]["psnr"]
+    assert 0 < out["bicubic"]["ssim"] <= 1
+
+
+def test_validate_by_class_has_total(tmp_path):
+    model, variables = _tiny_model()
+    table = mfe_new_validate_by_class(model, variables, _cfg(), 2,
+                                      save_img=True, save_dir=str(tmp_path))
+    assert "Total" in table
+    text = format_by_class_table(table)
+    assert "Total" in text and "PSNR" in text
+    # panels + SR images were written
+    import glob
+    assert glob.glob(str(tmp_path) + "/**/SR_*.png", recursive=True)
+
+
+def test_mfe_test_single(tmp_path):
+    from PIL import Image
+    img_path = str(tmp_path / "input.png")
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(
+        img_path)
+    model, variables = _tiny_model()
+    out = mfe_test_single(model, variables, img_path, 2, str(tmp_path),
+                          crop_size=32)
+    import os
+    assert all(os.path.exists(p) for p in out.values())

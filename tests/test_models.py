@@ -63,3 +63,19 @@ def test_registry_complete():
     assert not missing
     spec = get_spec("sradsgan")
     assert spec.adversarial and spec.gan_type == "wgan-gp"
+
+
+def test_hat_shapes_and_padding():
+    """HAT pads non-window-multiple inputs and crops the output back."""
+    model = create_generator("hat", scale=2, embed_dim=12,
+                             depths=(2,), num_heads=(2,), window_size=4)
+    x = jnp.zeros((1, 10, 10, 3), jnp.float32)  # 10 % 4 != 0
+    y = _init_and_apply(model, x)
+    assert y.shape == (1, 20, 20, 3)
+
+
+def test_hat_default_window_rule():
+    from sradsgan_tpu.models.hat import HAT
+    assert HAT(scale=4)._window() == 9
+    assert HAT(scale=3)._window() == 8
+    assert HAT(scale=9)._window() == 8
