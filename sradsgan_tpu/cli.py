@@ -33,7 +33,20 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--save-dir", default="Result")
     p.add_argument("--no-bf16", action="store_true")
+    p.add_argument("--lpips", action="store_true",
+                   help="include LPIPS in eval (slow; see losses/lpips.py "
+                        "about backbone weights)")
     p.add_argument("--config", help="JSON TrainConfig overriding flags")
+
+
+def _lpips(args):
+    if not getattr(args, "lpips", False):
+        return None
+    from sradsgan_tpu.losses.lpips import lpips_fn, lpips_is_calibrated
+    if not lpips_is_calibrated():
+        print("note: LPIPS backbone weights not provided "
+              "(SRADSGAN_TPU_ALEXNET_NPZ); reporting uncalibrated lpips*")
+    return lpips_fn()
 
 
 def _build_cfg(args):
@@ -94,7 +107,7 @@ def cmd_train(args) -> int:
             variables["batch_stats"] = trainer.state.g_stats
         table = mfe_new_validate_by_class(
             trainer.generator, variables, cfg.data, cfg.scale,
-            save_img=args.save_img,
+            lpips_fn=_lpips(args), save_img=args.save_img,
             save_dir=os.path.join(cfg.model_dir, "eval"))
         print(format_by_class_table(table))
     return 0
@@ -107,7 +120,7 @@ def cmd_validate(args) -> int:
     cfg = _build_cfg(args)
     generator, variables = _load_eval_model(args, args.ckpt)
     out = mfe_new_validate(generator, variables, cfg.data, args.scale,
-                           save_img=args.save_img,
+                           lpips_fn=_lpips(args), save_img=args.save_img,
                            save_dir=os.path.join(cfg.model_dir, "eval"))
     print(json.dumps(out, indent=2))
     return 0
@@ -120,7 +133,8 @@ def cmd_validate_by_class(args) -> int:
     cfg = _build_cfg(args)
     generator, variables = _load_eval_model(args, args.ckpt)
     table = mfe_new_validate_by_class(
-        generator, variables, cfg.data, args.scale, save_img=args.save_img,
+        generator, variables, cfg.data, args.scale, lpips_fn=_lpips(args),
+        save_img=args.save_img,
         save_dir=os.path.join(cfg.model_dir, "eval"))
     print(format_by_class_table(table))
     return 0
