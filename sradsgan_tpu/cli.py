@@ -150,6 +150,45 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_diffusion_train(args) -> int:
+    from sradsgan_tpu.diffusion.trainer import DiffusionTrainer
+
+    cfg = _build_cfg(args)
+    trainer = DiffusionTrainer(cfg.data, args.scale,
+                               save_dir=os.path.join(args.save_dir, "GDP"),
+                               n_timestep=args.timesteps,
+                               bf16=not args.no_bf16)
+    loss = trainer.train(args.n_iter, val_freq=args.val_freq)
+    path = trainer.save_checkpoint()
+    print(json.dumps({"final_loss": loss, "ckpt": path}))
+    return 0
+
+
+def cmd_diffusion_sample(args) -> int:
+    import numpy as np
+    from PIL import Image
+    from sradsgan_tpu.diffusion.trainer import DiffusionTrainer
+    from sradsgan_tpu.utils.plotting import save_image
+
+    cfg = _build_cfg(args)
+    trainer = DiffusionTrainer(cfg.data, args.scale,
+                               save_dir=os.path.join(args.save_dir, "GDP"),
+                               n_timestep=args.timesteps,
+                               bf16=not args.no_bf16)
+    if args.ckpt:
+        trainer.load_checkpoint(args.ckpt)
+    img = Image.open(args.image).convert("RGB")
+    bc = img.resize((img.width * args.scale, img.height * args.scale),
+                    Image.BICUBIC)
+    bc01 = np.asarray(bc, np.float32)[None] / 255.0
+    sr = trainer.super_resolution(bc01)[0]
+    name = os.path.splitext(os.path.basename(args.image))[0]
+    out = os.path.join(args.out_dir, f"GDP_SR_{name}_x{args.scale}.png")
+    save_image(sr, out)
+    print(json.dumps({"sr": out}))
+    return 0
+
+
 def cmd_list_models(_args) -> int:
     from sradsgan_tpu.models import available_models, get_spec
 
@@ -194,6 +233,23 @@ def main(argv=None) -> int:
     p.add_argument("--out-dir", default="Result/single")
     p.add_argument("--test-crop", type=int, default=None)
     p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("diffusion-train",
+                       help="GDP-style conditional diffusion SR training")
+    _add_common(p)
+    p.add_argument("--n-iter", type=int, default=1000000)
+    p.add_argument("--val-freq", type=int, default=0)
+    p.add_argument("--timesteps", type=int, default=1000)
+    p.set_defaults(fn=cmd_diffusion_train)
+
+    p = sub.add_parser("diffusion-sample",
+                       help="sample SR from a trained diffusion model")
+    _add_common(p)
+    p.add_argument("--image", required=True)
+    p.add_argument("--ckpt")
+    p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--out-dir", default="Result/GDP/samples")
+    p.set_defaults(fn=cmd_diffusion_sample)
 
     p = sub.add_parser("list-models")
     p.set_defaults(fn=cmd_list_models)

@@ -38,9 +38,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put a pytree of host arrays, batch axis split over the mesh."""
-    sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """Device-put a pytree of host arrays, batch axis split over the mesh.
+
+    Leaves whose leading dimension doesn't divide the mesh (tiny test
+    batches, eval tails) are replicated instead — numerically identical,
+    just without the parallel speedup.
+    """
+    split = batch_sharding(mesh)
+    repl = replicated(mesh)
+    n = mesh.devices.size
+
+    def put(x):
+        ok = getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0
+        return jax.device_put(x, split if ok else repl)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

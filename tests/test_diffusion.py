@@ -1,0 +1,61 @@
+"""Diffusion SR sub-package tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sradsgan_tpu.core.config import DataConfig
+from sradsgan_tpu.diffusion.gaussian import (Schedule, make_beta_schedule,
+                                             p_sample_loop, q_sample)
+from sradsgan_tpu.diffusion.trainer import DiffusionTrainer
+
+
+def test_beta_schedules():
+    for name in ["linear", "quad", "warmup10", "warmup50", "const", "jsd",
+                 "cosine"]:
+        betas = make_beta_schedule(name, 100)
+        assert betas.shape == (100,)
+        assert np.all(betas > 0) and np.all(betas <= 1)
+
+
+def test_q_sample_interpolates():
+    sched = Schedule.create(n_timestep=10)
+    x0 = jnp.ones((1, 8, 8, 3))
+    noise = jnp.zeros_like(x0)
+    t = jnp.array([0])
+    out = q_sample(sched, x0, t, noise)
+    # at t=0 with zero noise, x_t ~= sqrt(alpha_bar_0) * x0
+    assert float(out[0, 0, 0, 0]) == pytest.approx(
+        float(sched.sqrt_alphas_cumprod[0]))
+
+
+def _tiny_trainer(tmpdir, timesteps=8):
+    cfg = DataConfig(synthetic=True, synthetic_size=8, crop_size=16,
+                     test_crop_size=16, batch_size=4, test_batch_size=2,
+                     num_workers=2)
+    return DiffusionTrainer(cfg, scale=2, save_dir=str(tmpdir),
+                            n_timestep=timesteps, bf16=False,
+                            unet_kwargs={"inner_channel": 32,
+                                         "channel_mults": (1, 2),
+                                         "res_blocks": 1})
+
+
+def test_diffusion_train_and_sample(tmp_path):
+    trainer = _tiny_trainer(tmp_path)
+    loss = trainer.train(n_iter=2)
+    assert np.isfinite(loss)
+    bc = np.random.default_rng(0).random((1, 16, 16, 3)).astype(np.float32)
+    sr = trainer.super_resolution(bc)
+    assert sr.shape == (1, 16, 16, 3)
+    assert np.all(np.isfinite(sr))
+    # checkpoint roundtrip
+    path = trainer.save_checkpoint("test")
+    trainer.load_checkpoint(path)
+
+
+def test_diffusion_validate(tmp_path):
+    trainer = _tiny_trainer(tmp_path)
+    val = trainer.validate(max_images=2)
+    assert np.isfinite(val["psnr"]) and np.isfinite(val["bc_psnr"])
