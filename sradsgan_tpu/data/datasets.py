@@ -127,6 +127,132 @@ class SyntheticDataset:
         return {"lr": lr, "hr": hr, "bc": bc, "path": f"synthetic_{index}"}
 
 
+@dataclasses.dataclass
+class AugmentedCropDataset(FolderDataset):
+    """Random-scale + random-crop + rot90/flip training variant.
+
+    Reference data/dataset.py:222-306 (``Dataset``): scale the image by a
+    random factor in [0.5, 1], random-crop to crop_size, rotate by a random
+    multiple of 90 degrees, random horizontal/vertical flips, then build
+    the bicubic LR/bc triplet.
+    """
+
+    random_scale: bool = True
+
+    def load(self, index: int, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng(index)
+        img = Image.open(self.files[index]).convert("RGB")
+        if self.random_scale:
+            factor = float(rng.uniform(0.5, 1.0))
+            w = max(int(img.width * factor), self.crop_size)
+            h = max(int(img.height * factor), self.crop_size)
+            img = img.resize((w, h), Image.BICUBIC)
+        if img.width > self.crop_size or img.height > self.crop_size:
+            left = int(rng.integers(0, img.width - self.crop_size + 1))
+            top = int(rng.integers(0, img.height - self.crop_size + 1))
+            img = img.crop((left, top, left + self.crop_size,
+                            top + self.crop_size))
+        k = int(rng.integers(0, 4))
+        if k:
+            img = img.rotate(90 * k)
+        if rng.integers(0, 2):
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        if rng.integers(0, 2):
+            img = img.transpose(Image.FLIP_TOP_BOTTOM)
+        lr, hr, bc = make_triplet(img, self.scale, self.crop_size,
+                                  self.lr_filter)
+        return {"lr": lr, "hr": hr, "bc": bc, "path": self.files[index]}
+
+
+@dataclasses.dataclass
+class NoisyDataset(FolderDataset):
+    """LR corrupted with Gaussian or salt&pepper noise.
+
+    Reference data/dataset.py:153-220 (``DatasetFromFolder`` with the noise
+    helpers at :15-49).
+    """
+
+    noise: str = "gaussian"   # 'gaussian' | 'sp'
+    noise_level: float = 0.01
+
+    def load(self, index: int, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng(index)
+        out = super().load(index, None)
+        lr = out["lr"]
+        if self.noise == "gaussian":
+            lr = lr + rng.normal(0, self.noise_level,
+                                 lr.shape).astype(np.float32)
+        else:
+            u = rng.random(lr.shape[:2] + (1,))
+            lr = np.where(u < self.noise_level / 2, 1.0,
+                          np.where(u > 1 - self.noise_level / 2, 0.0, lr))
+        out["lr"] = np.clip(lr, 0.0, 1.0).astype(np.float32)
+        return out
+
+
+@dataclasses.dataclass
+class BlurDegradedDataset(FolderDataset):
+    """Gaussian-blur degradation before downsampling.
+
+    Reference data/dataset.py:331-366 (``RandomCropDatasetFromFolder``).
+    """
+
+    blur_sigma: float = 1.5
+
+    def load(self, index: int, rng: Optional[np.random.Generator] = None):
+        from PIL import ImageFilter
+        img = Image.open(self.files[index]).convert("RGB")
+        img = _center_crop(img, self.crop_size)
+        blurred = img.filter(ImageFilter.GaussianBlur(self.blur_sigma))
+        lr_size = self.crop_size // self.scale
+        lr_img = blurred.resize((lr_size, lr_size), Image.BICUBIC)
+        bc_img = lr_img.resize((self.crop_size, self.crop_size),
+                               Image.BICUBIC)
+        to_f32 = lambda im: np.asarray(im, dtype=np.float32) / 255.0
+        return {"lr": to_f32(lr_img), "hr": to_f32(img),
+                "bc": to_f32(bc_img), "path": self.files[index]}
+
+
+@dataclasses.dataclass
+class TripletFolderDataset:
+    """Pre-built lr_{l}/hr_{r}/sr_{l}_{r} triplet folders (GDP layout).
+
+    Reference GDP_x0/data/LRHR_dataset.py:9-128 (folder mode) with the
+    optional joint random hflip of GDP_x0/data/util.py:74-92.  Values are
+    kept in [0, 1] here; the diffusion trainer maps to [-1, 1].
+    """
+
+    root: str
+    lr_size: int
+    hr_size: int
+    hflip: bool = False
+
+    def __post_init__(self):
+        self.lr_files = scan_image_dirs(
+            [os.path.join(self.root, f"lr_{self.lr_size}")])
+        self.hr_files = scan_image_dirs(
+            [os.path.join(self.root, f"hr_{self.hr_size}")])
+        self.sr_files = scan_image_dirs(
+            [os.path.join(self.root, f"sr_{self.lr_size}_{self.hr_size}")])
+        assert len(self.lr_files) == len(self.hr_files) == len(self.sr_files)
+
+    def __len__(self) -> int:
+        return len(self.hr_files)
+
+    def load(self, index: int, rng: Optional[np.random.Generator] = None):
+        to_f32 = lambda p: np.asarray(Image.open(p).convert("RGB"),
+                                      np.float32) / 255.0
+        lr = to_f32(self.lr_files[index])
+        hr = to_f32(self.hr_files[index])
+        bc = to_f32(self.sr_files[index])
+        if self.hflip and rng is not None and rng.integers(0, 2):
+            lr, hr, bc = lr[:, ::-1], hr[:, ::-1], bc[:, ::-1]
+        return {"lr": np.ascontiguousarray(lr),
+                "hr": np.ascontiguousarray(hr),
+                "bc": np.ascontiguousarray(bc),
+                "path": self.hr_files[index]}
+
+
 def build_train_dataset(cfg, scale: int):
     """Reference get_RGB_trainDataset (data/data.py:295-315): one dir per
     class of AID/DOTA/LoveDA/RSSCN7_2800 plus the SECOND root."""

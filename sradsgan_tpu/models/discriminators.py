@@ -31,6 +31,65 @@ _DEFAULT_BLOCKS: Tuple[Tuple[int, int, bool], ...] = (
 )
 
 
+class VGGStyleDiscriminator(nn.Module):
+    """VGG-style discriminator with dense head.
+
+    Reference: model/architecture.py Discriminator_VGG_{96,128,192,256}
+    (:87-321): per 2x-downsampling stage a (3x3 s1, 4x4 s2) BN conv pair
+    with LeakyReLU(0.2), channels 64->128->256->512->512..., then
+    Linear(100) -> LeakyReLU -> Linear(1).  ``input_size`` picks the stage
+    count like the four reference variants.
+    """
+
+    input_size: int = 128
+    base_nf: int = 64
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import math
+        n_stages = int(math.log2(self.input_size // 4))
+        nf = self.base_nf
+        for i in range(n_stages):
+            out_nf = min(nf * (2 ** min(i, 3)), 512)
+            x = nn.Conv(out_nf, (3, 3), padding="SAME", use_bias=i == 0,
+                        kernel_init=default_kernel_init, dtype=self.dtype)(x)
+            if i > 0:
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=self.dtype)(x)
+            x = nn.leaky_relu(x, 0.2)
+            x = nn.Conv(out_nf, (4, 4), strides=(2, 2), padding="SAME",
+                        use_bias=False, kernel_init=default_kernel_init,
+                        dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype)(x)
+            x = nn.leaky_relu(x, 0.2)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(100, kernel_init=default_kernel_init,
+                     dtype=self.dtype)(x)
+        x = nn.leaky_relu(x, 0.2)
+        return nn.Dense(1, kernel_init=default_kernel_init,
+                        dtype=self.dtype)(x)
+
+
+class SNPatchDiscriminator(nn.Module):
+    """Spectrally-normalized patch D (reference spectral_norm.py usage in
+    base_networks.Discriminator(use_spectralnorm=True):1747)."""
+
+    blocks: Sequence[Tuple[int, int, bool]] = _DEFAULT_BLOCKS
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from sradsgan_tpu.nn.spectral_norm import SNConv
+        for filters, stride, _ in self.blocks:
+            x = SNConv(filters, 3, stride, dtype=self.dtype)(
+                x, update_stats=train)
+            x = nn.leaky_relu(x, 0.2)
+        return nn.Conv(1, (3, 3), padding="SAME",
+                       kernel_init=default_kernel_init, dtype=self.dtype)(x)
+
+
 class PatchDiscriminator(nn.Module):
     blocks: Sequence[Tuple[int, int, bool]] = _DEFAULT_BLOCKS
     kernel_size: int = 3

@@ -51,11 +51,17 @@ class ChannelGate(nn.Module):
                        kernel_init=default_kernel_init, dtype=self.dtype)
         mlp = lambda v: fc2(nn.relu(fc1(v)))
 
-        out = 0.0
-        if "Avg" in self.pool_mode:
-            out = out + mlp(jnp.mean(x, axis=(1, 2)))
-        if "Max" in self.pool_mode:
-            out = out + mlp(jnp.max(x, axis=(1, 2)))
+        if self.pool_mode == "Avg|Max":
+            # Fused single-pass avg+max (Pallas on TPU; ops/pallas/pooling.py)
+            from sradsgan_tpu.ops.pallas.pooling import fused_avg_max_pool
+            avg, mx = fused_avg_max_pool(x)
+            out = mlp(avg) + mlp(mx)
+        else:
+            out = 0.0
+            if "Avg" in self.pool_mode:
+                out = out + mlp(jnp.mean(x, axis=(1, 2)))
+            if "Max" in self.pool_mode:
+                out = out + mlp(jnp.max(x, axis=(1, 2)))
         return nn.sigmoid(out)[:, None, None, :] * x
 
 

@@ -154,6 +154,63 @@ class UpsampleHead(nn.Module):
         return x
 
 
+class DeconvBlock(nn.Module):
+    """Transposed-conv upsampling block (base_networks.py:211-244)."""
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    activation: Optional[str] = "relu"
+    norm: Optional[str] = "batch"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(self.features,
+                             (self.kernel_size, self.kernel_size),
+                             strides=(self.stride, self.stride),
+                             padding="SAME",
+                             kernel_init=default_kernel_init,
+                             dtype=self.dtype)(x)
+        if self.norm == "batch":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype)(x)
+        act = make_act(self.activation)
+        return act(x) if act is not None else x
+
+
+class Upsample2xBlock(nn.Module):
+    """2x upsampling: 'deconv' | 'ps' (sub-pixel) | 'rnc' (resize+conv)
+    (base_networks.py:336-365)."""
+
+    features: int
+    upsample: str = "deconv"
+    activation: Optional[str] = "relu"
+    norm: Optional[str] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.upsample == "deconv":
+            return DeconvBlock(self.features, 4, 2, self.activation,
+                               self.norm, dtype=self.dtype)(x, train)
+        if self.upsample == "ps":
+            x = nn.Conv(self.features * 4, (3, 3), padding="SAME",
+                        kernel_init=default_kernel_init, dtype=self.dtype)(x)
+            x = pixel_shuffle(x, 2)
+        elif self.upsample == "rnc":
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            x = nn.Conv(self.features, (3, 3), padding="SAME",
+                        kernel_init=default_kernel_init, dtype=self.dtype)(x)
+        else:
+            raise ValueError(f"unknown upsample mode {self.upsample!r}")
+        if self.norm == "batch":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype)(x)
+        act = make_act(self.activation)
+        return act(x) if act is not None else x
+
+
 class NearestConvUpsample(nn.Module):
     """Nearest-neighbor x2 + conv upsampling (NDSRGAN's head,
     reference ndsrgan.py:175-196)."""
