@@ -154,10 +154,17 @@ def cmd_diffusion_train(args) -> int:
     from sradsgan_tpu.diffusion.trainer import DiffusionTrainer
 
     cfg = _build_cfg(args)
-    trainer = DiffusionTrainer(cfg.data, args.scale,
-                               save_dir=os.path.join(args.save_dir, "GDP"),
-                               n_timestep=args.timesteps,
-                               bf16=not args.no_bf16)
+    if args.gdp_config:
+        trainer = DiffusionTrainer.from_gdp_config(
+            args.gdp_config, cfg.data,
+            save_dir=os.path.join(args.save_dir, "GDP"),
+            bf16=not args.no_bf16)
+    else:
+        trainer = DiffusionTrainer(cfg.data, args.scale,
+                                   save_dir=os.path.join(args.save_dir,
+                                                         "GDP"),
+                                   n_timestep=args.timesteps,
+                                   bf16=not args.no_bf16)
     loss = trainer.train(args.n_iter, val_freq=args.val_freq)
     path = trainer.save_checkpoint()
     print(json.dumps({"final_loss": loss, "ckpt": path}))
@@ -240,6 +247,9 @@ def main(argv=None) -> int:
     p.add_argument("--n-iter", type=int, default=1000000)
     p.add_argument("--val-freq", type=int, default=0)
     p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--gdp-config",
+                   help="bundled or custom GDP JSON config name/path "
+                        "(e.g. gdp_train_27_216)")
     p.set_defaults(fn=cmd_diffusion_train)
 
     p = sub.add_parser("diffusion-sample",

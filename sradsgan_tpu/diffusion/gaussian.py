@@ -160,3 +160,45 @@ def p_sample_loop(denoise_apply, variables, sched: Schedule,
     (img, _), _ = jax.lax.scan(step, (img0, k_chain),
                                jnp.arange(n - 1, -1, -1))
     return img
+
+
+def p_sample_chain(denoise_apply, variables, sched: Schedule,
+                   cond: jnp.ndarray, rng: jax.Array,
+                   n_snapshots: int = 10,
+                   clip_denoised: bool = True) -> jnp.ndarray:
+    """Like :func:`p_sample_loop` but returns intermediate snapshots.
+
+    The reference's continuous-sampling val mode saves the reverse chain
+    every num_timesteps//10 steps (diffusion.py:210, sr_mfe.py:275-403).
+    Returns (n_snapshots + 1, B, H, W, C): the initial noise plus one
+    snapshot per chunk (the last is x̂₀).
+    """
+    n = sched.num_timesteps
+    c1 = jnp.asarray(sched.posterior_mean_coef1)
+    c2 = jnp.asarray(sched.posterior_mean_coef2)
+    logvar = jnp.asarray(sched.posterior_log_variance_clipped)
+
+    k_init, k_chain = jax.random.split(rng)
+    img = jax.random.normal(k_init, cond.shape, cond.dtype)
+
+    def step(carry, t):
+        x, key = carry
+        key, k_noise = jax.random.split(key)
+        tb = jnp.full((x.shape[0],), t, jnp.int32)
+        x_recon = denoise_apply(variables, jnp.concatenate([x, cond], -1),
+                                tb, False, None)
+        if clip_denoised:
+            x_recon = jnp.clip(x_recon, -1.0, 1.0)
+        mean = c1[t] * x_recon + c2[t] * x
+        noise = jax.random.normal(k_noise, x.shape, x.dtype)
+        nonzero = (t > 0).astype(x.dtype)
+        return (mean + nonzero * jnp.exp(0.5 * logvar[t]) * noise, key), None
+
+    snapshots = [img]
+    bounds = np.linspace(n, 0, n_snapshots + 1).astype(int)
+    key = k_chain
+    for hi, lo in zip(bounds[:-1], bounds[1:]):
+        (img, key), _ = jax.lax.scan(step, (img, key),
+                                     jnp.arange(hi - 1, lo - 1, -1))
+        snapshots.append(img)
+    return jnp.stack(snapshots)

@@ -27,7 +27,7 @@ from sradsgan_tpu.core.config import DataConfig
 from sradsgan_tpu.data.datasets import build_test_dataset, build_train_dataset
 from sradsgan_tpu.data.loader import DataLoader, device_prefetch
 from sradsgan_tpu.diffusion.gaussian import (Schedule, p_losses,
-                                             p_sample_loop)
+                                             p_sample_chain, p_sample_loop)
 from sradsgan_tpu.diffusion.unet import UNet
 from sradsgan_tpu.metrics import (compare_ergas, compare_mse, compare_psnr,
                                   compare_ssim, tensor_to_uint8)
@@ -126,6 +126,31 @@ class DiffusionTrainer:
         cond = jnp.asarray(bc01, jnp.float32) * 2.0 - 1.0
         out = self._jit_sample(self.params, cond, rng)
         return np.asarray((out.astype(jnp.float32) + 1.0) * 0.5)
+
+    def super_resolution_chain(self, bc01: np.ndarray,
+                               n_snapshots: int = 10,
+                               rng: Optional[jax.Array] = None) -> np.ndarray:
+        """Continuous-sampling mode: return the reverse-chain snapshots
+        (reference sr_mfe.py:275-403 val phase), [0,1], shape
+        (n_snapshots+1, B, H, W, C)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(self.step)
+        cond = jnp.asarray(bc01, jnp.float32) * 2.0 - 1.0
+        chain = p_sample_chain(self._apply, self.params, self.sched, cond,
+                               rng, n_snapshots)
+        return np.asarray(jnp.clip((chain.astype(jnp.float32) + 1) * 0.5,
+                                   0, 1))
+
+    @classmethod
+    def from_gdp_config(cls, path_or_name: str, data_cfg: DataConfig,
+                        save_dir: str = "Result/GDP", **overrides):
+        """Build a trainer from a GDP-style JSON config
+        (diffusion/config.py)."""
+        from sradsgan_tpu.diffusion.config import (load_gdp_config,
+                                                   trainer_kwargs_from_config)
+        cfg = load_gdp_config(path_or_name)
+        kwargs = trainer_kwargs_from_config(cfg)
+        kwargs.update(overrides)
+        return cls(data_cfg, save_dir=save_dir, **kwargs)
 
     def validate(self, max_images: int = 4) -> Dict[str, float]:
         """Full metric suite vs bicubic (reference sr_mfe.py:124-261)."""

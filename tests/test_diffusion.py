@@ -59,3 +59,23 @@ def test_diffusion_validate(tmp_path):
     trainer = _tiny_trainer(tmp_path)
     val = trainer.validate(max_images=2)
     assert np.isfinite(val["psnr"]) and np.isfinite(val["bc_psnr"])
+
+
+def test_gdp_config_loading():
+    from sradsgan_tpu.diffusion.config import (load_gdp_config,
+                                               trainer_kwargs_from_config)
+    for name, scale in [("gdp_train_27_216", 8), ("gdp_test_108_216", 2),
+                        ("gdp_GF2_x3", 3), ("gdp_Sentinel2_x9", 9)]:
+        cfg = load_gdp_config(name)
+        kw = trainer_kwargs_from_config(cfg)
+        assert kw["scale"] == scale, (name, kw)
+        assert kw["unet_kwargs"]["in_channel"] == 6
+        assert kw["n_timestep"] == 1000
+
+
+def test_sample_chain_snapshots(tmp_path):
+    trainer = _tiny_trainer(tmp_path)
+    bc = np.random.default_rng(0).random((1, 16, 16, 3)).astype(np.float32)
+    chain = trainer.super_resolution_chain(bc, n_snapshots=4)
+    assert chain.shape == (5, 1, 16, 16, 3)
+    assert np.all(np.isfinite(chain))
