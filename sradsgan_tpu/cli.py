@@ -97,6 +97,8 @@ def cmd_train(args) -> int:
     if args.init_from:
         cfg.init_from = args.init_from
     trainer = Trainer(cfg)
+    if args.resume:
+        trainer.load_checkpoint(args.resume)
     metrics = trainer.train(num_steps=args.steps)
     print(json.dumps({"final": metrics}))
     if not args.no_final_eval:
@@ -110,6 +112,29 @@ def cmd_train(args) -> int:
             lpips_fn=_lpips(args), save_img=args.save_img,
             save_dir=os.path.join(cfg.model_dir, "eval"))
         print(format_by_class_table(table))
+    return 0
+
+
+def cmd_chain_train(args) -> int:
+    from sradsgan_tpu.train.trainer import Trainer
+
+    prev_ckpt = None
+    results = {}
+    for scale in args.scales:
+        args.scale = scale
+        cfg = _build_cfg(args)
+        if args.epochs is not None:
+            cfg.num_epochs = args.epochs
+        cfg.init_from = prev_ckpt
+        trainer = Trainer(cfg)
+        results[f"x{scale}"] = trainer.train(num_steps=args.steps)
+        prev_ckpt = trainer.save_checkpoint(cfg.num_epochs - 1)
+        best = os.path.join(cfg.model_dir, "ckpt_best")
+        if os.path.exists(best):
+            prev_ckpt = best
+        print(f"scale x{scale} done; next init_from={prev_ckpt}")
+    print(json.dumps({k: {m: float(v) for m, v in r.items()}
+                      for k, r in results.items()}))
     return 0
 
 
@@ -216,9 +241,22 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=None,
                    help="stop after N optimizer steps (smoke runs)")
     p.add_argument("--init-from", help="chain-training checkpoint")
+    p.add_argument("--resume", help="resume from a checkpoint path")
     p.add_argument("--save-img", action="store_true")
     p.add_argument("--no-final-eval", action="store_true")
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser(
+        "chain-train",
+        help="paper protocol: train x2 -> x3 -> x4 -> x8 -> x9, each scale "
+             "warm-started from the previous best checkpoint "
+             "(reference sradsgan.py:716-721)")
+    _add_common(p)
+    p.add_argument("--scales", type=int, nargs="+",
+                   default=[2, 3, 4, 8, 9])
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--steps", type=int, default=None)
+    p.set_defaults(fn=cmd_chain_train)
 
     p = sub.add_parser("validate", help="mfeNew_validate protocol")
     _add_common(p)

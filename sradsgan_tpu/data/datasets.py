@@ -113,14 +113,21 @@ class SyntheticDataset:
 
     def load(self, index: int, rng=None):
         g = np.random.default_rng(self.seed + index)
-        low = g.random((9, 9, 3)).astype(np.float32)
-        img = Image.fromarray(
-            (np.clip(low, 0, 1) * 255).astype(np.uint8)).resize(
-                (self.crop_size, self.crop_size), Image.BICUBIC)
-        # add mild high-frequency texture so SR has something to learn
-        arr = np.asarray(img, np.float32) / 255.0
-        noise = g.normal(0, 0.02, arr.shape).astype(np.float32)
-        arr = np.clip(arr + noise, 0, 1)
+        size = self.crop_size
+        # multi-band texture: low/mid/fine random fields + sharp rectangles,
+        # so the LR->HR mapping has learnable high-frequency structure
+        arr = np.zeros((size, size, 3), np.float32)
+        for base, amp in ((7, 0.5), (21, 0.25), (63, 0.12)):
+            band = g.random((base, base, 3)).astype(np.float32)
+            im = Image.fromarray((band * 255).astype(np.uint8)).resize(
+                (size, size), Image.BICUBIC)
+            arr += amp * (np.asarray(im, np.float32) / 255.0)
+        for _ in range(6):  # sharp-edged rectangles (buildings/roads analog)
+            y0, x0 = g.integers(0, size - 8, 2)
+            h, w = g.integers(4, max(size // 4, 5), 2)
+            arr[y0:y0 + h, x0:x0 + w] = (arr[y0:y0 + h, x0:x0 + w] * 0.4
+                                         + g.random(3) * 0.6)
+        arr = np.clip(arr + 0.08, 0, 1)
         img = Image.fromarray((arr * 255).astype(np.uint8))
         lr, hr, bc = make_triplet(img, self.scale, self.crop_size,
                                   self.lr_filter)

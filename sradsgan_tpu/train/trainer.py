@@ -306,6 +306,15 @@ class Trainer:
                                   "MP/s": rate, **m})
                     for k, v in m.items():
                         self.logger.scalar_summary(k, v, step_count)
+                if (cfg.sample_interval
+                        and step_count % cfg.sample_interval == 0):
+                    # in-training sample metrics vs the bicubic twin
+                    # (reference sradsgan.py:911-969)
+                    q = self._jit_eval(self.state, batch)
+                    self.logger.print_format_results(
+                        "train", {"epoch": epoch, "step": step_count,
+                                  **{k: float(np.mean(np.asarray(v)))
+                                     for k, v in q.items()}})
                 if num_steps is not None and step_count >= num_steps:
                     return {k: float(v) for k, v in metrics.items()}
 
