@@ -153,7 +153,8 @@ def cmd_validate(args) -> int:
 
 def cmd_validate_by_class(args) -> int:
     from sradsgan_tpu.evaluation.validate import (format_by_class_table,
-                                                  mfe_new_validate_by_class)
+                                                  mfe_new_validate_by_class,
+                                                  save_by_class_csv)
 
     cfg = _build_cfg(args)
     generator, variables = _load_eval_model(args, args.ckpt)
@@ -162,6 +163,10 @@ def cmd_validate_by_class(args) -> int:
         save_img=args.save_img,
         save_dir=os.path.join(cfg.model_dir, "eval"))
     print(format_by_class_table(table))
+    csv_path = os.path.join(cfg.model_dir,
+                            f"by_class_x{args.scale}.csv")
+    save_by_class_csv(table, csv_path)
+    print(f"table saved: {csv_path}")
     return 0
 
 

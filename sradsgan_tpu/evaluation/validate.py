@@ -194,6 +194,25 @@ def mfe_test_single(generator, variables, image_path: str, scale: int,
     return {"sr": sr_path, "bicubic": bc_path, "panel": panel_path}
 
 
+def save_by_class_csv(table, path: str) -> None:
+    """Write the per-class table as CSV (published-table layout)."""
+    import csv
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    keys = None
+    with open(path, "w", newline="") as f:
+        writer = None
+        for cls, row in table.items():
+            if not row["sr"]:
+                continue
+            if keys is None:
+                keys = sorted(row["sr"].keys())
+                writer = csv.writer(f)
+                writer.writerow(["class"] + [f"sr_{k}" for k in keys]
+                                + [f"bc_{k}" for k in keys])
+            writer.writerow([cls] + [f"{row['sr'][k]:.6f}" for k in keys]
+                            + [f"{row['bicubic'][k]:.6f}" for k in keys])
+
+
 def format_by_class_table(table) -> str:
     """Human-readable per-class table (val_log.txt style)."""
     lines = []

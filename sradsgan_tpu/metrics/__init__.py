@@ -3,6 +3,7 @@ from sradsgan_tpu.metrics.fidelity import (
     compare_psnr,
     compare_ssim,
     compare_ergas,
+    batched_ergas,
     batched_psnr,
     batched_ssim,
     tensor_to_uint8,
@@ -13,6 +14,7 @@ __all__ = [
     "compare_psnr",
     "compare_ssim",
     "compare_ergas",
+    "batched_ergas",
     "batched_psnr",
     "batched_ssim",
     "tensor_to_uint8",

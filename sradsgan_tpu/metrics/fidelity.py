@@ -160,6 +160,19 @@ def batched_psnr(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return 10.0 * jnp.log10((255.0 ** 2) / jnp.maximum(mse, 1e-12))
 
 
+@jax.jit
+def batched_ergas(pred: jnp.ndarray, target: jnp.ndarray,
+                  scale: int = 4) -> jnp.ndarray:
+    """Per-image ERGAS variant-2 over an NHWC batch (uint8-emulated),
+    matching ``compare_ergas`` (utils/utils.py:954)."""
+    p = _quantize01(pred)
+    t = _quantize01(target)
+    c = t.shape[-1]
+    mse = jnp.mean((p - t) ** 2, axis=(1, 2, 3))
+    mean2 = jnp.mean(t, axis=(1, 2, 3)) ** 2
+    return 100.0 * jnp.sqrt(mse / jnp.maximum(mean2, 1e-12) / c) / scale
+
+
 def _uniform_filter_nhwc(x: jnp.ndarray, win: int) -> jnp.ndarray:
     """Depthwise uniform (box) filter, VALID padding, NHWC."""
     c = x.shape[-1]

@@ -42,7 +42,7 @@ from sradsgan_tpu.losses import (VGG19Features, adversarial_loss_d,
                                  adversarial_loss_g, gradient_penalty,
                                  pixel_loss)
 from sradsgan_tpu.losses.vgg import load_vgg19_params
-from sradsgan_tpu.metrics import batched_psnr, batched_ssim
+from sradsgan_tpu.metrics import batched_ergas, batched_psnr, batched_ssim
 from sradsgan_tpu.models import get_spec
 from sradsgan_tpu.parallel.mesh import create_mesh, replicate
 from sradsgan_tpu.train.state import (GANTrainState, get_lr, make_optimizer,
@@ -240,6 +240,7 @@ class Trainer:
         return {
             "psnr": batched_psnr(sr, batch["hr"]),
             "ssim": batched_ssim(sr, batch["hr"]),
+            "ergas": batched_ergas(sr, batch["hr"], self.cfg.scale),
             "bc_psnr": batched_psnr(batch["bc"], batch["hr"]),
             "bc_ssim": batched_ssim(batch["bc"], batch["hr"]),
         }
@@ -274,14 +275,22 @@ class Trainer:
         dataset = build_train_dataset(cfg.data, cfg.scale)
         rng = jax.random.PRNGKey(cfg.seed + 1)
 
-        best = {"psnr": -np.inf, "ssim": -np.inf}
+        best = {"psnr": -np.inf, "ssim": -np.inf, "ergas": np.inf}
         best_path = os.path.join(cfg.model_dir, "ckpt_best")
         bad_epochs = 0
         step_count = 0
         t0 = time.time()
         last_metrics: Dict[str, float] = {}
+        # loss/metric curves (reference plot_loss + avg_* histories,
+        # utils/utils.py:55-86, sradsgan.py:1048-1056)
+        self.history: Dict[str, list] = {"loss_G": [], "loss_D": [],
+                                         "psnr": [], "ssim": [],
+                                         "ergas": []}
 
-        for epoch in range(cfg.start_epoch, cfg.num_epochs):
+        # With an explicit num_steps budget the epoch cap is lifted (smoke
+        # runs and benchmarking drive by steps, not epochs).
+        max_epochs = cfg.num_epochs if num_steps is None else 10 ** 9
+        for epoch in range(cfg.start_epoch, max_epochs):
             lr_now = get_lr(self.state.g_opt)
             if lr_now < cfg.optim.lr_floor:  # stop rule (sradsgan.py:804)
                 print(f"lr {lr_now:.2e} below floor; stopping")
@@ -322,10 +331,20 @@ class Trainer:
             val = self.validate(max_batches=32)
             last_metrics = val
             self.logger.print_format_results("val", {"epoch": epoch, **val})
-            improved = val["psnr"] > best["psnr"] or val["ssim"] > best["ssim"]
+            for k in ("loss_G", "loss_D"):
+                if k in metrics:
+                    self.history[k].append(float(metrics[k]))
+            for k in ("psnr", "ssim", "ergas"):
+                self.history[k].append(val[k])
+            # reference resets the plateau counter when ANY tracked metric
+            # improves (sradsgan.py:986-1036)
+            improved = (val["psnr"] > best["psnr"]
+                        or val["ssim"] > best["ssim"]
+                        or val["ergas"] < best["ergas"])
             if improved:
                 best["psnr"] = max(best["psnr"], val["psnr"])
                 best["ssim"] = max(best["ssim"], val["ssim"])
+                best["ergas"] = min(best["ergas"], val["ergas"])
                 bad_epochs = 0
                 save_pytree(best_path, {"g_params": self.state.g_params,
                                         "g_stats": self.state.g_stats,
@@ -353,15 +372,27 @@ class Trainer:
 
             if (epoch + 1) % cfg.save_epochs == 0:
                 self.save_checkpoint(epoch)
+
+        from sradsgan_tpu.utils.plotting import plot_curves
+        plot_curves(self.history,
+                    os.path.join(cfg.model_dir, "train_curves.png"))
         return last_metrics
 
     # ------------------------------------------------------------------
-    def save_checkpoint(self, epoch: int) -> str:
+    def save_checkpoint(self, epoch: int,
+                        include_optimizer: bool = False) -> str:
+        """Per-epoch G/D save (reference sradsgan.py:1197-1207); pass
+        include_optimizer=True for full-state resume (GDP model.py:126-146
+        saves optimizer state too)."""
         path = os.path.join(self.cfg.model_dir, f"ckpt_epoch_{epoch}")
-        save_pytree(path, {
+        tree = {
             "g_params": self.state.g_params, "g_stats": self.state.g_stats,
             "d_params": self.state.d_params, "d_stats": self.state.d_stats,
-            "step": self.state.step})
+            "step": self.state.step}
+        if include_optimizer:
+            tree["g_opt"] = self.state.g_opt
+            tree["d_opt"] = self.state.d_opt
+        save_pytree(path, tree)
         return path
 
     def load_checkpoint(self, path: str) -> None:
