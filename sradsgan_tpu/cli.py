@@ -226,6 +226,15 @@ def cmd_diffusion_sample(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    from sradsgan_tpu.serving import export_model
+
+    generator, variables = _load_eval_model(args, args.ckpt)
+    path = export_model(generator, variables, args.lr_size, args.out)
+    print(json.dumps({"exported": path}))
+    return 0
+
+
 def cmd_list_models(_args) -> int:
     from sradsgan_tpu.models import available_models, get_spec
 
@@ -303,6 +312,13 @@ def main(argv=None) -> int:
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--out-dir", default="Result/GDP/samples")
     p.set_defaults(fn=cmd_diffusion_sample)
+
+    p = sub.add_parser("export", help="AOT-export a model (StableHLO)")
+    _add_common(p)
+    p.add_argument("--ckpt")
+    p.add_argument("--lr-size", type=int, default=54)
+    p.add_argument("--out", default="exported_model.bin")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("list-models")
     p.set_defaults(fn=cmd_list_models)

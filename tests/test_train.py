@@ -78,3 +78,13 @@ def test_checkpoint_roundtrip_and_chain_init(tmp_path):
     trainer4 = Trainer(cfg4)
     out = trainer4.train(num_steps=1)
     assert np.isfinite(out["loss_G"])
+
+
+def test_hat_trains_a_step():
+    cfg = _tiny_cfg("hat", scale=2, embed_dim=12, depths=(1,),
+                    num_heads=(2,), window_size=4)
+    cfg.data.crop_size = 16
+    cfg.data.test_crop_size = 16
+    trainer = Trainer(cfg)
+    out = trainer.train(num_steps=2)
+    assert np.isfinite(out["loss_G"])
