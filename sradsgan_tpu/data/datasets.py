@@ -60,14 +60,22 @@ def _center_crop(img: Image.Image, size: int) -> Image.Image:
 
 
 def make_triplet(img: Image.Image, scale: int, crop_size: int,
-                 lr_filter: str = "bicubic"):
-    """(lr, hr, bc) float32 HWC triplet with the reference's PIL protocol."""
-    img = _center_crop(img.convert("RGB"), crop_size)
+                 lr_filter: str = "bicubic", gray: bool = False):
+    """(lr, hr, bc) float32 HWC triplet with the reference's PIL protocol.
+
+    ``gray=True`` super-resolves the luma channel only (the reference's
+    is_gray/YCbCr path, data/dataset.py:463-465)."""
+    img = img.convert("YCbCr").getchannel(0) if gray else img.convert("RGB")
+    img = _center_crop(img, crop_size)
     lr_size = crop_size // scale
     resample = Image.BICUBIC if lr_filter == "bicubic" else Image.BILINEAR
     lr_img = img.resize((lr_size, lr_size), resample)
     bc_img = lr_img.resize((crop_size, crop_size), Image.BICUBIC)
-    to_f32 = lambda im: np.asarray(im, dtype=np.float32) / 255.0
+
+    def to_f32(im):
+        arr = np.asarray(im, dtype=np.float32) / 255.0
+        return arr[..., None] if arr.ndim == 2 else arr
+
     return to_f32(lr_img), to_f32(img), to_f32(bc_img)
 
 
@@ -80,6 +88,7 @@ class FolderDataset:
     crop_size: int = 216
     lr_filter: str = "bicubic"   # 'bilinear' for the test protocol
     augment: bool = False
+    gray: bool = False           # Y-channel-only SR (reference is_gray)
 
     def __len__(self) -> int:
         return len(self.files)
@@ -94,7 +103,7 @@ class FolderDataset:
             if rng.integers(0, 2):
                 img = img.transpose(Image.FLIP_TOP_BOTTOM)
         lr, hr, bc = make_triplet(img, self.scale, self.crop_size,
-                                  self.lr_filter)
+                                  self.lr_filter, self.gray)
         return {"lr": lr, "hr": hr, "bc": bc, "path": self.files[index]}
 
 

@@ -60,7 +60,12 @@ def _mean_rows(rows: List[MetricRow]) -> MetricRow:
 
 
 class Evaluator:
-    """Batched jitted SR inference + protocol metrics."""
+    """Batched jitted SR inference + protocol metrics.
+
+    LPIPS, when enabled, runs batched on device (whole eval batch in one
+    jitted call) instead of the reference's per-image forwards
+    (sradsgan.py:1489) — same numbers, far fewer dispatches.
+    """
 
     def __init__(self, generator, variables, scale: int,
                  lpips_fn: Optional[Callable] = None,
@@ -72,6 +77,13 @@ class Evaluator:
         self.batch_size = batch_size
         self._fwd = jax.jit(
             lambda v, x: generator.apply(v, x, train=False))
+        self._batched_lpips = None
+        if lpips_fn is not None:
+            try:
+                from sradsgan_tpu.losses.lpips import batched_lpips
+                self._batched_lpips = batched_lpips
+            except Exception:
+                pass
 
     def super_resolve(self, lr_batch: np.ndarray) -> np.ndarray:
         out = self._fwd(self.variables, jnp.asarray(lr_batch))
@@ -88,14 +100,28 @@ class Evaluator:
         num = 0
         for batch in loader:
             sr = self.super_resolve(batch["lr"])
+            lp_sr = lp_bc = None
+            if self._batched_lpips is not None:
+                lp_sr = np.asarray(self._batched_lpips(
+                    jnp.asarray(sr), jnp.asarray(batch["hr"])))
+                lp_bc = np.asarray(self._batched_lpips(
+                    jnp.asarray(batch["bc"]), jnp.asarray(batch["hr"])))
             for i in range(sr.shape[0]):
                 path = batch["path"][i]
                 cls = class_of(path) if class_of else "all"
                 slot = per_class.setdefault(cls, {"sr": [], "bc": []})
                 slot["sr"].append(_score_pair(sr[i], batch["hr"][i],
-                                              self.scale, self.lpips_fn))
+                                              self.scale, None))
                 slot["bc"].append(_score_pair(batch["bc"][i], batch["hr"][i],
-                                              self.scale, self.lpips_fn))
+                                              self.scale, None))
+                if lp_sr is not None:
+                    slot["sr"][-1]["lpips"] = float(lp_sr[i])
+                    slot["bc"][-1]["lpips"] = float(lp_bc[i])
+                elif self.lpips_fn is not None:
+                    slot["sr"][-1]["lpips"] = float(
+                        self.lpips_fn(sr[i], batch["hr"][i]))
+                    slot["bc"][-1]["lpips"] = float(
+                        self.lpips_fn(batch["bc"][i], batch["hr"][i]))
                 if save_img and save_dir:
                     num += 1
                     name = os.path.splitext(os.path.basename(path))[0]
