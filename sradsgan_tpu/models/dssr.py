@@ -63,7 +63,7 @@ class DSSR(nn.Module):
         out = ConvBlock(self.n_feats, 3, dtype=self.dtype)(x)
         # Shared upsample head applied to every tap (dssr.py:170-176).
         up = UpsampleHead(self.n_feats, self.scale, activation=None,
-                          dtype=self.dtype)
+                          share_stages=True, dtype=self.dtype)
         out_all = up(out)
         for _ in range(self.n_groups):
             out = DSSRGroup(self.n_feats, self.n_blocks,

@@ -32,5 +32,5 @@ class EDSR(nn.Module):
         x = ConvBlock(self.base_filters, 3, dtype=self.dtype)(x)
         x = x + residual
         x = UpsampleHead(self.base_filters, self.scale, activation="lrelu01",
-                         dtype=self.dtype)(x)
+                         share_stages=True, dtype=self.dtype)(x)
         return ConvBlock(self.num_channels, 3, dtype=self.dtype)(x)

@@ -204,7 +204,7 @@ class HAB(nn.Module):
         shift = self.shift if win == self.window else 0
 
         shortcut = x
-        xn = nn.LayerNorm(dtype=self.dtype)(x)
+        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         conv_x = CAB(self.compress_ratio, self.squeeze_factor,
                      dtype=self.dtype)(xn)
 
@@ -223,7 +223,7 @@ class HAB(nn.Module):
 
         x = shortcut + attn + conv_x * self.conv_scale
         x = x + Mlp(int(c * self.mlp_ratio), c, dtype=self.dtype)(
-            nn.LayerNorm(dtype=self.dtype)(x))
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x))
         return x
 
 
@@ -248,7 +248,7 @@ class OCAB(nn.Module):
         d = c // heads
 
         shortcut = x
-        xn = nn.LayerNorm(dtype=self.dtype)(x)
+        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         qkv = nn.Dense(3 * c, kernel_init=trunc02, dtype=self.dtype)(xn)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -294,7 +294,7 @@ class OCAB(nn.Module):
 
         x = shortcut + out
         x = x + Mlp(int(c * self.mlp_ratio), c, dtype=self.dtype)(
-            nn.LayerNorm(dtype=self.dtype)(x))
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x))
         return x
 
 
@@ -308,6 +308,9 @@ class RHAG(nn.Module):
     window: int
     overlap_ratio: float = 0.5
     mlp_ratio: float = 4.0
+    compress_ratio: int = 3
+    squeeze_factor: int = 30
+    conv_scale: float = 0.01
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -316,6 +319,9 @@ class RHAG(nn.Module):
         for i in range(self.depth):
             x = HAB(self.dim, self.num_heads, self.window,
                     shift=0 if i % 2 == 0 else self.window // 2,
+                    compress_ratio=self.compress_ratio,
+                    squeeze_factor=self.squeeze_factor,
+                    conv_scale=self.conv_scale,
                     mlp_ratio=self.mlp_ratio, dtype=self.dtype)(x)
         x = OCAB(self.dim, self.num_heads, self.window, self.overlap_ratio,
                  dtype=self.dtype)(x)
@@ -332,6 +338,9 @@ class HAT(nn.Module):
     window_size: int = 0        # 0 = auto: 9 for 2^n scales, 8 for 3^n
     overlap_ratio: float = 0.5
     mlp_ratio: float = 4.0
+    compress_ratio: int = 3
+    squeeze_factor: int = 30
+    conv_scale: float = 0.01
     num_feat: int = 64
     dtype: Optional[Any] = None
 
@@ -355,18 +364,20 @@ class HAT(nn.Module):
         x = x - mean
 
         feat = ConvBlock(self.embed_dim, 3, dtype=self.dtype)(x)
-        y = nn.LayerNorm(dtype=self.dtype)(feat)  # patch_norm on embed
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(feat)  # patch_norm on embed
         for depth, heads in zip(self.depths, self.num_heads):
             y = RHAG(self.embed_dim, depth, heads, win, self.overlap_ratio,
-                     self.mlp_ratio, dtype=self.dtype)(y)
-        y = nn.LayerNorm(dtype=self.dtype)(y)
+                     self.mlp_ratio, self.compress_ratio,
+                     self.squeeze_factor, self.conv_scale,
+                     dtype=self.dtype)(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(y)
         y = ConvBlock(self.embed_dim, 3, dtype=self.dtype)(y)
         feat = feat + y
 
         feat = ConvBlock(self.num_feat, 3, activation="lrelu01",
                          dtype=self.dtype)(feat)
         feat = UpsampleHead(self.num_feat, self.scale, activation=None,
-                            dtype=self.dtype)(feat)
+                            share_stages=True, dtype=self.dtype)(feat)
         out = ConvBlock(self.num_channels, 3, dtype=self.dtype)(feat)
         out = out + mean
         if ph or pw:

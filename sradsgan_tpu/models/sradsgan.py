@@ -134,5 +134,5 @@ class SRADSGANGenerator(nn.Module):
         out_all = GlobalAttention(self.ga_mode, self.add_conv,
                                   dtype=self.dtype)(out_all)
         out_all = UpsampleHead(f, self.scale, activation="lrelu01",
-                               dtype=self.dtype)(out_all)
+                               share_stages=True, dtype=self.dtype)(out_all)
         return ConvBlock(self.num_channels, 3, dtype=self.dtype)(out_all)

@@ -97,13 +97,20 @@ class SRAGANGenerator(nn.Module):
         # Global CAM (channel) then PAM (spatial) + 1x1 (sragan.py:216-227)
         out = GlobalAttention(self.ga_mode, add_conv=True,
                               dtype=self.dtype)(out)
-        # BN'd sub-pixel upsampling (sragan.py:183-197)
-        for r in UpsampleHead.stages(self.scale):
-            out = nn.Conv(f * r * r, (3, 3), padding="SAME",
-                          kernel_init=default_kernel_init,
-                          dtype=self.dtype)(out)
-            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                               epsilon=1e-5, dtype=self.dtype)(out)
+        # BN'd sub-pixel upsampling (sragan.py:183-197); conv/bn SHARED
+        # across stages (the reference appends one module list repeatedly)
+        stages = UpsampleHead.stages(self.scale)
+        if stages:
+            r0 = stages[0]
+            up_conv = nn.Conv(f * r0 * r0, (3, 3), padding="SAME",
+                              kernel_init=default_kernel_init,
+                              dtype=self.dtype)
+            up_bn = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=self.dtype)
+        for r in stages:
+            out = up_conv(out)
+            out = up_bn(out)
             out = pixel_shuffle(out, r)
             out = nn.leaky_relu(out, 0.01)
         out = nn.Conv(self.num_channels, (3, 3), padding="SAME",

@@ -41,13 +41,21 @@ class SRGANGenerator(nn.Module):
         out = ConvBlock(f, 3, activation=None, norm="batch",
                         dtype=self.dtype)(out, train)
         out = out1 + out
-        # Upsample with BN between conv and shuffle (srgan.py:94-106)
-        for r in UpsampleHead.stages(self.scale):
-            out = nn.Conv(f * r * r, (3, 3), padding="SAME",
-                          kernel_init=default_kernel_init,
-                          dtype=self.dtype)(out)
-            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                               epsilon=1e-5, dtype=self.dtype)(out)
+        # Upsample with BN between conv and shuffle (srgan.py:94-106);
+        # the reference appends ONE [conv, bn, shuffle, relu] list per
+        # stage, so conv/bn weights are SHARED across stages.
+        stages = UpsampleHead.stages(self.scale)
+        if stages:
+            r0 = stages[0]
+            up_conv = nn.Conv(f * r0 * r0, (3, 3), padding="SAME",
+                              kernel_init=default_kernel_init,
+                              dtype=self.dtype)
+            up_bn = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=self.dtype)
+        for r in stages:
+            out = up_conv(out)
+            out = up_bn(out)
             out = pixel_shuffle(out, r)
             out = nn.relu(out)
         out = nn.Conv(self.num_channels, (9, 9), padding="SAME",

@@ -122,16 +122,24 @@ class ResBlock(nn.Module):
 
 
 class UpsampleHead(nn.Module):
-    """Shared sub-pixel upsample tail: 2^n and 3^n scale law.
+    """Sub-pixel upsample tail: 2^n and 3^n scale law.
 
     Per stage: 3x3 conv expanding channels by r^2, PixelShuffle(r), then an
     optional activation (the reference uses LeakyReLU(0.01) here).
     Scales 2, 4, 8 -> r=2 stages; 3, 9 -> r=3 stages.
+
+    ``share_stages``: most reference models build their stage list ONCE and
+    append it repeatedly (``upsampling += upsampling_two``), so the SAME
+    conv module is applied at every stage — shared weights (e.g.
+    sradsgan.py:380-394, edsr.py:41-58, hat.py:594-615).  DRCAN and AMSSRN
+    construct fresh convs per stage instead (drcan Upsampler,
+    amssrn.py:74-91).  Set accordingly for param-count/checkpoint parity.
     """
 
     features: int
     scale: int
     activation: Optional[str] = "lrelu01"
+    share_stages: bool = False
     dtype: Optional[Dtype] = None
 
     @staticmethod
@@ -145,9 +153,19 @@ class UpsampleHead(nn.Module):
     @nn.compact
     def __call__(self, x):
         act = make_act(self.activation)
-        for r in self.stages(self.scale):
-            x = nn.Conv(self.features * r * r, (3, 3), padding="SAME",
-                        kernel_init=default_kernel_init, dtype=self.dtype)(x)
+        stages = self.stages(self.scale)
+        shared_conv = None
+        if self.share_stages and stages:
+            r0 = stages[0]
+            shared_conv = nn.Conv(self.features * r0 * r0, (3, 3),
+                                  padding="SAME",
+                                  kernel_init=default_kernel_init,
+                                  dtype=self.dtype)
+        for r in stages:
+            conv = shared_conv if shared_conv is not None else nn.Conv(
+                self.features * r * r, (3, 3), padding="SAME",
+                kernel_init=default_kernel_init, dtype=self.dtype)
+            x = conv(x)
             x = pixel_shuffle(x, r)
             if act is not None:
                 x = act(x)
@@ -213,21 +231,27 @@ class Upsample2xBlock(nn.Module):
 
 class NearestConvUpsample(nn.Module):
     """Nearest-neighbor x2 + conv upsampling (NDSRGAN's head,
-    reference ndsrgan.py:175-196)."""
+    reference ndsrgan.py:175-196; stage modules shared like the sub-pixel
+    heads — the reference appends one list repeatedly)."""
 
     features: int
     scale: int
     activation: Optional[str] = "lrelu"
+    share_stages: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         act = make_act(self.activation)
+        shared = nn.Conv(self.features, (3, 3), padding="SAME",
+                         kernel_init=default_kernel_init,
+                         dtype=self.dtype) if self.share_stages else None
         for r in UpsampleHead.stages(self.scale):
-            b, h, w, c = x.shape
             x = jnp.repeat(jnp.repeat(x, r, axis=1), r, axis=2)
-            x = nn.Conv(self.features, (3, 3), padding="SAME",
-                        kernel_init=default_kernel_init, dtype=self.dtype)(x)
+            conv = shared if shared is not None else nn.Conv(
+                self.features, (3, 3), padding="SAME",
+                kernel_init=default_kernel_init, dtype=self.dtype)
+            x = conv(x)
             if act is not None:
                 x = act(x)
         return x

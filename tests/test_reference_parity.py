@@ -60,14 +60,27 @@ def _import_reference_edsr():
     _stub("skimage.measure", compare_ssim=_Any(), compare_mse=_Any(),
           compare_psnr=_Any(), compare_nrmse=_Any())
     _stub("thop", profile=_Any())
+
+    def _to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    def _trunc_normal_(tensor, std=0.02, **k):
+        with torch.no_grad():
+            tensor.normal_(0, std).clamp_(-2 * std, 2 * std)
+        return tensor
+
+    _stub("basicsr")
+    _stub("basicsr.archs")
+    _stub("basicsr.archs.arch_util", to_2tuple=_to_2tuple,
+          trunc_normal_=_trunc_normal_)
     # reference-internal packages the model file imports
     for name in ("data", "data.data", "data.dataset", "utils",
                  "utils.utils", "utils.logger", "utils.PerceptualSimilarity"):
         _stub(name)
-    sys.modules["data"].get_RGB_trainDataset = _Any()
-    sys.modules["data"].get_RGB_testDataset = _Any()
-    sys.modules["data.data"].get_RGB_trainDataset = _Any()
-    sys.modules["data.data"].get_RGB_testDataset = _Any()
+    for attr in ("get_RGB_trainDataset", "get_RGB_testDataset",
+                 "get_training_datasets", "get_test_datasets"):
+        setattr(sys.modules["data"], attr, _Any())
+        setattr(sys.modules["data.data"], attr, _Any())
     sys.modules["utils"].utils = sys.modules["utils.utils"]
     sys.modules["utils.utils"].weights_init_normal = lambda *a, **k: None
     sys.modules["utils.logger"].Logger = _Any
@@ -137,4 +150,219 @@ def test_sradsgan_forward_matches_reference_torch():
                                   train=False))
     with torch.no_grad():
         ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), atol=3e-5)
+
+
+def test_drcan_forward_matches_reference_torch():
+    import jax
+    import jax.numpy as jnp
+    from sradsgan_tpu.models import create_generator
+    from sradsgan_tpu.tools.import_reference import import_drcan
+
+    _import_reference_edsr()
+    import importlib
+    drcan_mod = importlib.import_module("model.drcan")
+    tnet = drcan_mod.RCAN(n_resgroups=2, n_resblocks=2, n_feats=16,
+                          reduction=4, scale=2).eval()
+    model = create_generator("drcan", scale=2, n_feats=16, n_resgroups=2,
+                             n_resblocks=2, reduction=4)
+    x = np.random.default_rng(2).random((1, 10, 10, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    new_params = import_drcan(tnet.state_dict(), variables["params"],
+                              n_resgroups=2, n_resblocks=2, scale=2)
+    ours = np.asarray(model.apply({"params": new_params}, jnp.asarray(x),
+                                  train=False))
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), atol=2e-5)
+
+
+def test_dssr_forward_matches_reference_torch():
+    import jax
+    import jax.numpy as jnp
+    from sradsgan_tpu.models import create_generator
+    from sradsgan_tpu.tools.import_reference import import_dssr
+
+    _import_reference_edsr()
+    import importlib
+    dssr_mod = importlib.import_module("model.dssr")
+    tnet = dssr_mod.GeneratorResNet(dssr_mod.ResGroup,
+                                    n_residual_blocks=2, n_basic_blocks=2,
+                                    upscale_factor=2).eval()
+    model = create_generator("dssr", scale=2, n_groups=2, n_blocks=2)
+    x = np.random.default_rng(3).random((1, 10, 10, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    new_params = import_dssr(tnet.state_dict(), variables["params"],
+                             n_groups=2, n_blocks=2, scale=2)
+    ours = np.asarray(model.apply({"params": new_params}, jnp.asarray(x),
+                                  train=False))
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), atol=2e-5)
+
+
+def test_ndsrgan_forward_matches_reference_torch():
+    import jax
+    import jax.numpy as jnp
+    from sradsgan_tpu.models import create_generator
+    from sradsgan_tpu.tools.import_reference import import_ndsrgan
+
+    _import_reference_edsr()
+    import importlib
+    mod = importlib.import_module("model.ndsrgan")
+    tnet = mod.GeneratorResNet(nf=16, nc=8, upscale_factor=2).eval()
+    # trim the torch net to 2 DCRDBs for test size by monkeypatching forward
+    model = create_generator("ndsrgan", scale=2, nf=16, nc=8, n_dcrdb=23)
+    x = np.random.default_rng(4).random((1, 8, 8, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    from sradsgan_tpu.tools.import_reference import import_ndsrgan
+    new_params = import_ndsrgan(tnet.state_dict(), variables["params"],
+                                n_dcrdb=23, scale=2)
+    ours = np.asarray(model.apply({"params": new_params}, jnp.asarray(x),
+                                  train=False))
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), atol=3e-5)
+
+
+def test_amssrn_forward_matches_reference_torch():
+    import jax
+    import jax.numpy as jnp
+    from sradsgan_tpu.models import create_generator
+    from sradsgan_tpu.tools.import_reference import import_amssrn
+
+    _import_reference_edsr()
+    import importlib
+    mod = importlib.import_module("model.amssrn")
+    tnet = mod.GeneratorResNet(scale=2).eval()
+    model = create_generator("amssrn", scale=2)
+    x = np.random.default_rng(5).random((1, 12, 12, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    new_params = import_amssrn(tnet.state_dict(), variables["params"],
+                               scale=2)
+    ours = np.asarray(model.apply({"params": new_params}, jnp.asarray(x),
+                                  train=False))
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), atol=3e-5)
+
+
+def test_srgan_forward_matches_reference_torch():
+    """SRGAN parity exercises the BatchNorm mapping (eval running stats)."""
+    import jax
+    import jax.numpy as jnp
+    from sradsgan_tpu.models import create_generator
+    from sradsgan_tpu.tools.import_reference import import_srgan
+
+    _import_reference_edsr()
+    import importlib
+    mod = importlib.import_module("model.srgan")
+    tnet = mod.GeneratorResNet(n_residual_blocks=3, upscale_factor=2).eval()
+    # randomize running stats so the test is sensitive to the BN mapping
+    with torch.no_grad():
+        for m in tnet.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+    model = create_generator("srgan", scale=2, num_residuals=3)
+    x = np.random.default_rng(6).random((1, 12, 12, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    new_vars = import_srgan(tnet.state_dict(), variables, num_residuals=3,
+                            scale=2)
+    ours = np.asarray(model.apply(new_vars, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), atol=3e-5)
+
+
+def test_sragan_forward_matches_reference_torch():
+    import jax
+    import jax.numpy as jnp
+    from sradsgan_tpu.models import create_generator
+    from sradsgan_tpu.tools.import_reference import import_sragan
+
+    _import_reference_edsr()
+    import importlib
+    base = importlib.import_module("model.base_networks")
+    mod = importlib.import_module("model.sragan")
+    tnet = mod.GeneratorResNet(base.ResidualBlock_Block_WithAttention,
+                               n_residual_blocks=2, n_basic_blocks=2,
+                               upscale_factor=2).eval()
+    with torch.no_grad():
+        for m in tnet.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+    model = create_generator("sragan", scale=2, n_groups=2, n_blocks=2)
+    x = np.random.default_rng(8).random((1, 10, 10, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    new_vars = import_sragan(tnet.state_dict(), variables, n_groups=2,
+                             n_blocks=2, scale=2)
+    ours = np.asarray(model.apply(new_vars, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), atol=3e-5)
+
+
+def test_hat_forward_matches_reference_torch():
+    import jax
+    import jax.numpy as jnp
+    from sradsgan_tpu.models import create_generator
+    from sradsgan_tpu.tools.import_reference import import_hat
+
+    _import_reference_edsr()
+    # HAT imports einops.rearrange and timm-style helpers internally? it
+    # uses to_2tuple from its own file; einops is available.
+    import importlib
+    mod = importlib.import_module("model.hat")
+    tnet = mod.GeneratorResNet(img_size=8, embed_dim=12, depths=(2,),
+                               num_heads=(2,), window_size=4,
+                               compress_ratio=3, squeeze_factor=4,
+                               mlp_ratio=2.0, upscale=2,
+                               upsampler="pixelshuffle").eval()
+    model = create_generator("hat", scale=2, embed_dim=12, depths=(2,),
+                             num_heads=(2,), window_size=4, mlp_ratio=2.0,
+                             compress_ratio=3, squeeze_factor=4)
+    x = np.random.default_rng(9).random((1, 8, 8, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    new_params = import_hat(tnet.state_dict(), variables["params"],
+                            depths=(2,), scale=2)
+    ours = np.asarray(model.apply({"params": new_params}, jnp.asarray(x),
+                                  train=False))
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), atol=5e-5)
+
+
+def test_sradsgan_x4_shared_upsample_parity():
+    """x4 = two PixelShuffle stages sharing ONE conv (the reference's
+    `upsampling += upsampling_two` quirk) — verify multi-stage parity."""
+    import jax
+    import jax.numpy as jnp
+    from sradsgan_tpu.models import create_generator
+    from sradsgan_tpu.tools.import_reference import import_sradsgan
+
+    _import_reference_edsr()
+    import importlib
+    srad = importlib.import_module("model.sradsgan")
+    tnet = srad.GeneratorResNet(srad.ResGroup, n_residual_blocks=1,
+                                n_basic_blocks=1, upscale_factor=4).eval()
+    model = create_generator("sradsgan", scale=4, n_groups=1, n_blocks=1)
+    x = np.random.default_rng(10).random((1, 6, 6, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    new_params = import_sradsgan(tnet.state_dict(), variables["params"],
+                                 n_groups=1, n_blocks=1, scale=4)
+    ours = np.asarray(model.apply({"params": new_params}, jnp.asarray(x),
+                                  train=False))
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    assert ours.shape == (1, 24, 24, 3)
     np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), atol=3e-5)
