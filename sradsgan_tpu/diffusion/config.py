@@ -51,7 +51,11 @@ def trainer_kwargs_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
             "inner_channel": unet.get("inner_channel", 64),
             "channel_mults": tuple(unet.get("channel_multiplier",
                                             (1, 2, 4, 8))),
-            "attn_res": tuple(unet.get("attn_res", (16,))),
+            # config attn_res is pixel-size-phrased but DEAD in the
+            # reference (networks.py passes it to a parameter the UNet body
+            # ignores; the effective net attends at downsample rate 8) —
+            # we use the effective behavior.
+            "attn_res": (8,),
             "res_blocks": unet.get("res_blocks", 2),
             "dropout": unet.get("dropout", 0.0),
         },

@@ -63,13 +63,16 @@ class ResBlock(nn.Module):
 
 
 class AttnBlock(nn.Module):
-    num_heads: int = 1
+    """QKV self-attention; heads follow guided-diffusion's
+    num_head_channels=64 rule (reference unet.py:576-577)."""
+
+    num_head_channels: int = 64
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        heads = self.num_heads
+        heads = max(c // self.num_head_channels, 1)
         d = c // heads
         y = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
         qkv = nn.Conv(3 * c, (1, 1), dtype=self.dtype)(y)
@@ -89,17 +92,19 @@ class UNet(nn.Module):
     out_channel: int = 3
     inner_channel: int = 64
     channel_mults: Sequence[int] = (1, 2, 4, 8)
-    attn_res: Sequence[int] = (16,)
+    attn_res: Sequence[int] = (8,)
     res_blocks: int = 2
     dropout: float = 0.0
     image_size: int = 216
     dtype: Optional[Dtype] = None
 
     def _attn_at(self, level: int) -> bool:
-        # Attention placement depends on the CONFIG image size (like the
-        # reference's ds counter, unet.py:610-660) — never on the runtime
-        # shape, so the module structure is input-size independent.
-        return (self.image_size // (2 ** level)) in self.attn_res
+        # Attention placement by DOWNSAMPLE RATE, guided-diffusion style
+        # (reference unet.py:628-641 checks ``ds in attention_resolutions``
+        # with ds = 2^level; the config's pixel-size "attn_res" is dead in
+        # the reference's constructor).  Structure is input-size
+        # independent.
+        return (2 ** level) in self.attn_res
 
     @nn.compact
     def __call__(self, x, t, train: bool = False):
