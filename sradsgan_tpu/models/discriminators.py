@@ -100,9 +100,14 @@ class PatchDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = self.kernel_size
+        # torch-style symmetric padding (k-1)//2: for stride-2 convs this
+        # differs from XLA "SAME" (which pads (0,1)) — required for parity
+        # with the reference's Conv2d(k, stride, padding=1) blocks.
+        pad = (k - 1) // 2
         for i, (filters, stride, normalize) in enumerate(self.blocks, 1):
             x = nn.Conv(filters, (k, k), strides=(stride, stride),
-                        padding="SAME", kernel_init=default_kernel_init,
+                        padding=((pad, pad), (pad, pad)),
+                        kernel_init=default_kernel_init,
                         dtype=self.dtype)(x)
             if normalize:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,

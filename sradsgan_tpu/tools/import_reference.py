@@ -501,6 +501,68 @@ def import_hat(state: Dict[str, Any], params, depths=(6,) * 6,
     return params
 
 
+def import_patch_discriminator(state: Dict[str, Any], variables,
+                               attention: bool = True):
+    """Reference patch D state_dict -> PatchDiscriminator variables.
+
+    The reference builds the D as one flat nn.Sequential ``model`` whose
+    indices depend on the attention inserts (sradsgan.py:470-508 /
+    srgan.py:123-155): per block [conv, (bn), lrelu], CBAM gates appended
+    after block 6 when attention=True, final 1x1... (3x3) conv.  We walk the
+    ordered state_dict keys and assign convs/bns/gates positionally.
+    """
+    s = _as_np(state)
+    params = _copy(variables["params"])
+    stats = _copy(variables["batch_stats"])
+
+    conv_i = bn_i = 0
+    keys = list(s.keys())
+    i = 0
+    gates_done = False
+    n_convs_total = sum(1 for k in keys
+                        if k.endswith("weight") and s[k].ndim == 4
+                        and "fc" not in k)
+    while i < len(keys):
+        k = keys[i]
+        if k.endswith("fc1.weight"):  # CBAM channel gate
+            _set(params, ("ChannelGate_0", "Dense_0", "kernel"), _dense(s[k]))
+            _set(params, ("ChannelGate_0", "Dense_1", "kernel"),
+                 _dense(s[keys[i + 1]]))
+            i += 2
+            gates_done = True
+            continue
+        if ".sa." in k or k.endswith("conv1.weight") and s[k].shape[1] == 2:
+            _set(params, ("SpatialGate_0", "Conv_0", "kernel"), _k(s[k]))
+            i += 1
+            continue
+        if k.endswith("weight") and s[k].ndim == 4:
+            name = f"Conv_{conv_i}"
+            _set(params, (name, "kernel"), _k(s[k]))
+            if i + 1 < len(keys) and keys[i + 1].endswith("bias") and \
+                    s[keys[i + 1]].ndim == 1 and (
+                        s[keys[i + 1]].shape[0] == s[k].shape[0]):
+                _set(params, (name, "bias"), s[keys[i + 1]].astype(
+                    np.float32))
+                i += 1
+            conv_i += 1
+            i += 1
+            continue
+        if k.endswith("weight") and s[k].ndim == 1:  # batchnorm
+            name = f"BatchNorm_{bn_i}"
+            _set(params, (name, "scale"), s[k].astype(np.float32))
+            _set(params, (name, "bias"), s[keys[i + 1]].astype(np.float32))
+            _set(stats, (name, "mean"), s[keys[i + 2]].astype(np.float32))
+            _set(stats, (name, "var"), s[keys[i + 3]].astype(np.float32))
+            bn_i += 1
+            i += 4
+            # skip num_batches_tracked if present
+            if i < len(keys) and keys[i].endswith("num_batches_tracked"):
+                i += 1
+            continue
+        i += 1
+    return {"params": params, "batch_stats": stats}
+
+
 def _copy(params):
     import jax
     return jax.tree.map(np.array, params)

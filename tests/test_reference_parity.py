@@ -366,3 +366,29 @@ def test_sradsgan_x4_shared_upsample_parity():
         ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     assert ours.shape == (1, 24, 24, 3)
     np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), atol=3e-5)
+
+
+def test_discriminator_matches_reference_torch():
+    """Flagship patch D (8 conv blocks + CBAM gates + BN) parity."""
+    import jax
+    import jax.numpy as jnp
+    from sradsgan_tpu.models import create_discriminator
+    from sradsgan_tpu.tools.import_reference import import_patch_discriminator
+
+    _import_reference_edsr()
+    import importlib
+    srad = importlib.import_module("model.sradsgan")
+    tnet = srad.Discriminator(attention=True).eval()
+    with torch.no_grad():
+        for m in tnet.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+    d = create_discriminator("sradsgan")
+    x = np.random.default_rng(11).random((1, 48, 48, 3)).astype(np.float32)
+    variables = d.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    new_vars = import_patch_discriminator(tnet.state_dict(), variables)
+    ours = np.asarray(d.apply(new_vars, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), atol=3e-5)
