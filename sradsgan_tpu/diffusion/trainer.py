@@ -29,9 +29,9 @@ from sradsgan_tpu.data.loader import DataLoader, device_prefetch
 from sradsgan_tpu.diffusion.gaussian import (Schedule, p_losses,
                                              p_sample_chain, p_sample_loop)
 from sradsgan_tpu.diffusion.unet import UNet
-from sradsgan_tpu.metrics import (compare_ergas, compare_mse, compare_psnr,
+from sradsgan_tpu.metrics import (compare_ergas, compare_psnr,
                                   compare_ssim, tensor_to_uint8)
-from sradsgan_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from sradsgan_tpu.parallel.mesh import create_mesh, replicate
 from sradsgan_tpu.utils.logging import Logger
 
 

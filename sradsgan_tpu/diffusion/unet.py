@@ -13,7 +13,7 @@ map size at trace time (static shapes), like the reference's ds counter.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

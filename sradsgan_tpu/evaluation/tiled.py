@@ -12,8 +12,6 @@ GeoTIFF inference" stretch goal.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import numpy as np
 
 import jax

@@ -16,7 +16,6 @@ where it's hot.
 from __future__ import annotations
 
 import os
-import time
 from collections import OrderedDict
 from typing import Callable, Dict, List, Optional
 
@@ -26,8 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from sradsgan_tpu.data.datasets import (FolderDataset, build_test_dataset,
-                                        make_triplet, scan_class_dirs,
-                                        scan_image_dirs)
+                                        scan_class_dirs, scan_image_dirs)
 from sradsgan_tpu.data.loader import DataLoader
 from sradsgan_tpu.metrics import (compare_ergas, compare_mse, compare_psnr,
                                   compare_ssim, tensor_to_uint8)

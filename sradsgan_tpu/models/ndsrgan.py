@@ -12,13 +12,12 @@ patch D (ndsrgan.py:213-238), MSE GAN loss with weights
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sradsgan_tpu.nn.blocks import (ConvBlock, default_kernel_init,
-                                    NearestConvUpsample)
+from sradsgan_tpu.nn.blocks import ConvBlock, NearestConvUpsample
 
 
 class DenseBlock(nn.Module):

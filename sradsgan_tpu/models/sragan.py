@@ -15,8 +15,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sradsgan_tpu.nn.attention import (ChannelSelfAttention, GlobalAttention,
-                                       LocalAttention, SpatialSelfAttention)
+from sradsgan_tpu.nn.attention import GlobalAttention, LocalAttention
 from sradsgan_tpu.nn.blocks import ConvBlock, default_kernel_init, UpsampleHead
 from sradsgan_tpu.ops.pixelshuffle import pixel_shuffle
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sradsgan_tpu.nn.blocks import (ConvBlock, default_kernel_init,
-                                    UpsampleHead, make_act)
+                                    UpsampleHead)
 
 
 class ResidualDenseBlock5C(nn.Module):

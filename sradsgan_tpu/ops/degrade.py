@@ -14,7 +14,7 @@ one grouped depthwise convolution over the batch — no per-image Python.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax.numpy as jnp
 from scipy.ndimage import measurements, shift as nd_shift
 
 

@@ -15,7 +15,6 @@ CPU test mesh exercises identical semantics.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -15,7 +15,7 @@ the deployment surface of the TPU build:
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence
 
 import numpy as np
 

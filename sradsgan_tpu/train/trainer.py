@@ -23,7 +23,6 @@ TPU-first design:
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Any, Dict, Optional, Tuple

@@ -11,8 +11,7 @@ from __future__ import annotations
 import os
 import sys
 import time
-from collections import OrderedDict
-from typing import Dict, Optional
+from typing import Dict
 
 
 class PrintLogger:
