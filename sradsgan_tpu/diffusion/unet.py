@@ -34,9 +34,25 @@ def timestep_embedding(t: jnp.ndarray, dim: int,
     return emb
 
 
+def _down2(x):
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+def _up2(x):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+
+
 class ResBlock(nn.Module):
+    """Scale-shift-norm residual block, optionally fused with up/down
+    sampling (guided-diffusion ``resblock_updown``, reference
+    unet.py:276-390: h and the skip are resampled between in_layers'
+    norm-silu and conv)."""
+
     out_ch: int
     dropout: float = 0.0
+    up: bool = False
+    down: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -44,6 +60,12 @@ class ResBlock(nn.Module):
         in_ch = x.shape[-1]
         h = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
         h = nn.silu(h)
+        if self.down:
+            h = _down2(h)
+            x = _down2(x)
+        elif self.up:
+            h = _up2(h)
+            x = _up2(x)
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype)(h)
 
         # scale-shift time conditioning (reference unet.py:348-360)
@@ -96,6 +118,7 @@ class UNet(nn.Module):
     res_blocks: int = 2
     dropout: float = 0.0
     image_size: int = 216
+    resblock_updown: bool = True  # guided-diffusion default (unet.py:581)
     dtype: Optional[Dtype] = None
 
     def _attn_at(self, level: int) -> bool:
@@ -125,8 +148,13 @@ class UNet(nn.Module):
                                   name=f"attn_down_{level}_{i}")(h)
                 skips.append(h)
             if level != len(self.channel_mults) - 1:
-                h = nn.Conv(h.shape[-1], (3, 3), strides=(2, 2),
-                            padding="SAME", dtype=self.dtype)(h)
+                if self.resblock_updown:
+                    h = ResBlock(h.shape[-1], self.dropout, down=True,
+                                 dtype=self.dtype)(h, emb, train)
+                else:
+                    h = nn.Conv(h.shape[-1], (3, 3), strides=(2, 2),
+                                padding=((1, 1), (1, 1)),
+                                dtype=self.dtype)(h)
                 skips.append(h)
 
         # middle
@@ -146,9 +174,13 @@ class UNet(nn.Module):
                     h = AttnBlock(dtype=self.dtype,
                                   name=f"attn_up_{level}_{i}")(h)
             if level != 0:
-                b, hh, ww, cc = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), "nearest")
-                h = nn.Conv(cc, (3, 3), padding="SAME", dtype=self.dtype)(h)
+                if self.resblock_updown:
+                    h = ResBlock(h.shape[-1], self.dropout, up=True,
+                                 dtype=self.dtype)(h, emb, train)
+                else:
+                    h = _up2(h)
+                    h = nn.Conv(h.shape[-1], (3, 3), padding="SAME",
+                                dtype=self.dtype)(h)
 
         h = nn.GroupNorm(num_groups=32, dtype=self.dtype)(h)
         h = nn.silu(h)
