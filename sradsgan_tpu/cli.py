@@ -33,6 +33,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--save-dir", default="Result")
     p.add_argument("--no-bf16", action="store_true")
+    p.add_argument("--model-kwargs", default=None,
+                   help='JSON generator-constructor overrides, e.g. '
+                        '\'{"base_filters": 16}\'')
     p.add_argument("--lpips", action="store_true",
                    help="include LPIPS in eval (slow; see losses/lpips.py "
                         "about backbone weights)")
@@ -63,6 +66,8 @@ def _build_cfg(args):
     cfg.data.batch_size = args.batch_size
     cfg.save_dir = args.save_dir
     cfg.bf16 = not args.no_bf16
+    if getattr(args, "model_kwargs", None):
+        cfg.model_kwargs = json.loads(args.model_kwargs)
     return cfg
 
 
@@ -72,7 +77,9 @@ def _load_eval_model(args, ckpt):
     from sradsgan_tpu.core.checkpoint import restore_pytree
     from sradsgan_tpu.models import create_generator
 
-    generator = create_generator(args.model, args.scale)
+    kwargs = (json.loads(args.model_kwargs)
+              if getattr(args, "model_kwargs", None) else {})
+    generator = create_generator(args.model, args.scale, **kwargs)
     lr = args.crop_size // args.scale
     variables = generator.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, lr, lr, 3), jnp.float32),
