@@ -88,3 +88,56 @@ def test_hat_trains_a_step():
     trainer = Trainer(cfg)
     out = trainer.train(num_steps=2)
     assert np.isfinite(out["loss_G"])
+
+
+def test_shared_upsample_param_counts():
+    """share_stages=True reuses ONE conv across x4's two stages."""
+    import jax
+    import jax.numpy as jnp
+    from sradsgan_tpu.nn.blocks import UpsampleHead
+
+    x = jnp.zeros((1, 8, 8, 16))
+    shared = UpsampleHead(16, 4, share_stages=True).init(
+        jax.random.PRNGKey(0), x)
+    fresh = UpsampleHead(16, 4, share_stages=False).init(
+        jax.random.PRNGKey(0), x)
+    n = lambda v: sum(p.size for p in jax.tree.leaves(v))
+    assert n(fresh) == 2 * n(shared)
+    # both upscale 4x
+    assert UpsampleHead(16, 4, share_stages=True).apply(
+        shared, x).shape == (1, 32, 32, 16)
+
+
+def test_plateau_backtrack_halves_lr(monkeypatch, tmp_path):
+    """After `patience` non-improving epochs the trainer reloads the best
+    checkpoint and halves the lr (reference sradsgan.py:986-1036)."""
+    from sradsgan_tpu.train.state import get_lr
+
+    cfg = _tiny_cfg("edsr", base_filters=8, num_residuals=1)
+    cfg.save_dir = str(tmp_path)
+    cfg.optim.plateau_patience = 2
+    cfg.num_epochs = 6
+    trainer = Trainer(cfg)
+
+    vals = iter([30.0, 29.0, 28.0, 27.0, 26.0, 25.0, 24.0, 23.0])
+
+    def fake_validate(max_batches=None):
+        v = next(vals)
+        return {"psnr": v, "ssim": v / 100, "ergas": 100.0 - v,
+                "bc_psnr": 30.0, "bc_ssim": 0.9}
+
+    monkeypatch.setattr(trainer, "validate", fake_validate)
+    lr0 = get_lr(trainer.state.g_opt)
+    trainer.train()
+    assert get_lr(trainer.state.g_opt) <= lr0 * 0.5 + 1e-12
+
+
+def test_full_state_checkpoint_with_optimizer(tmp_path):
+    cfg = _tiny_cfg("edsr", base_filters=8, num_residuals=1)
+    cfg.save_dir = str(tmp_path)
+    trainer = Trainer(cfg)
+    trainer.train(num_steps=1)
+    path = trainer.save_checkpoint(0, include_optimizer=True)
+    from sradsgan_tpu.core.checkpoint import restore_pytree
+    state = restore_pytree(path)
+    assert state.get("g_opt") is not None
