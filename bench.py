@@ -24,6 +24,9 @@ REFERENCE_MPS = 1.1  # estimated reference single-GPU throughput (see above)
 def main():
     import jax
 
+    from sradsgan_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from sradsgan_tpu.core.config import config_for_model
     from sradsgan_tpu.parallel.mesh import shard_batch
     from sradsgan_tpu.train.trainer import Trainer

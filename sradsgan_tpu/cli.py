@@ -253,6 +253,8 @@ def cmd_list_models(_args) -> int:
 
 
 def main(argv=None) -> int:
+    from sradsgan_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="sradsgan_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 

@@ -76,6 +76,8 @@ class Trainer:
     """Host-side driver around the single jitted train step."""
 
     def __init__(self, cfg: TrainConfig):
+        from sradsgan_tpu.core.cache import enable_compilation_cache
+        enable_compilation_cache()
         self.cfg = cfg
         self.spec = get_spec(cfg.model)
         dtype = jnp.bfloat16 if cfg.bf16 else None
