@@ -128,7 +128,7 @@ class Evaluator:
                     plot_test_panel(
                         [batch["hr"][i], batch["lr"][i], batch["bc"][i],
                          sr[i]],
-                        ["HR", "LR", "Bicubic", "SRADSGAN-TPU"],
+                        ["HR", "LR", "Bicubic", "SR"],
                         [None, None, slot["bc"][-1], slot["sr"][-1]],
                         os.path.join(save_dir, cls,
                                      f"panel_{name}_x{self.scale}.png"))
