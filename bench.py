@@ -60,6 +60,9 @@ def main():
         state, metrics = trainer._jit_step(state, batch, k)
     jax.block_until_ready(metrics["loss_G"])
     dt = time.perf_counter() - t0
+    final = {k: float(v) for k, v in metrics.items()}
+    assert all(np.isfinite(v) for v in final.values()), (
+        f"non-finite training metrics in benchmark: {final}")
 
     n_chips = trainer.mesh.devices.size
     mps_per_chip = steps * 16 * 216 * 216 / 1e6 / dt / n_chips

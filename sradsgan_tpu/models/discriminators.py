@@ -55,13 +55,15 @@ class VGGStyleDiscriminator(nn.Module):
             x = nn.Conv(out_nf, (3, 3), padding="SAME", use_bias=i == 0,
                         kernel_init=default_kernel_init, dtype=self.dtype)(x)
             if i > 0:
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                x = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+                         use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype)(x)
             x = nn.leaky_relu(x, 0.2)
             x = nn.Conv(out_nf, (4, 4), strides=(2, 2), padding="SAME",
                         use_bias=False, kernel_init=default_kernel_init,
                         dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+                         use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype)(x)
             x = nn.leaky_relu(x, 0.2)
         x = x.reshape(x.shape[0], -1)
@@ -110,7 +112,8 @@ class PatchDiscriminator(nn.Module):
                         kernel_init=default_kernel_init,
                         dtype=self.dtype)(x)
             if normalize:
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                x = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+                         use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype)(x)
             x = nn.leaky_relu(x, 0.2)
             if self.use_attention and i == 6:

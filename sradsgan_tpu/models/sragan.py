@@ -90,7 +90,8 @@ class SRAGANGenerator(nn.Module):
             out = SRAGANGroup(f, self.n_blocks, dtype=self.dtype)(out)
         out = nn.Conv(f, (3, 3), padding="SAME",
                       kernel_init=default_kernel_init, dtype=self.dtype)(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        out = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+                         use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, dtype=self.dtype)(out)
         out = out1 + out
         # Global CAM (channel) then PAM (spatial) + 1x1 (sragan.py:216-227)
@@ -104,7 +105,8 @@ class SRAGANGenerator(nn.Module):
             up_conv = nn.Conv(f * r0 * r0, (3, 3), padding="SAME",
                               kernel_init=default_kernel_init,
                               dtype=self.dtype)
-            up_bn = nn.BatchNorm(use_running_average=not train,
+            up_bn = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+                         use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5,
                                  dtype=self.dtype)
         for r in stages:

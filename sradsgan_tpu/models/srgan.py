@@ -50,7 +50,8 @@ class SRGANGenerator(nn.Module):
             up_conv = nn.Conv(f * r0 * r0, (3, 3), padding="SAME",
                               kernel_init=default_kernel_init,
                               dtype=self.dtype)
-            up_bn = nn.BatchNorm(use_running_average=not train,
+            up_bn = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+                         use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5,
                                  dtype=self.dtype)
         for r in stages:

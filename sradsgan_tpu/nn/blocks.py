@@ -70,7 +70,8 @@ class ConvBlock(nn.Module):
                     padding="SAME", use_bias=self.use_bias,
                     kernel_init=default_kernel_init, dtype=self.dtype)(x)
         if self.norm == "batch":
-            x = nn.BatchNorm(use_running_average=not train,
+            x = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+                         use_running_average=not train,
                              momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
         elif self.norm == "instance":
             x = nn.GroupNorm(num_groups=x.shape[-1], dtype=self.dtype)(x)
@@ -191,7 +192,8 @@ class DeconvBlock(nn.Module):
                              kernel_init=default_kernel_init,
                              dtype=self.dtype)(x)
         if self.norm == "batch":
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+                         use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype)(x)
         act = make_act(self.activation)
         return act(x) if act is not None else x
@@ -223,7 +225,8 @@ class Upsample2xBlock(nn.Module):
         else:
             raise ValueError(f"unknown upsample mode {self.upsample!r}")
         if self.norm == "batch":
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+                         use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype)(x)
         act = make_act(self.activation)
         return act(x) if act is not None else x

@@ -85,17 +85,22 @@ def fused_avg_max_pool(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _fwd(x):
     avg, mx = fused_avg_max_pool(x)
-    return (avg, mx), (x, mx)
+    return (avg, mx), x
 
 
-def _bwd(res, grads):
-    x, mx = res
+def _bwd(x, grads):
     davg, dmax = grads
     n = x.shape[1] * x.shape[2]
     g_avg = (davg / n)[:, None, None, :]
-    is_max = (x == mx[:, None, None, :]).astype(x.dtype)
-    ties = jnp.sum(is_max, axis=(1, 2), keepdims=True)
-    g_max = is_max / ties * dmax[:, None, None, :]
+    # Recompute the max HERE rather than reusing the forward's value: the
+    # Pallas/XLA forward reduction can differ by 1 ULP in bf16, and an
+    # exact-equality mask against a foreign max can then be all-zero —
+    # ties==0 would divide to inf.  Recomputation + a >=1 guard makes the
+    # mask provably non-empty.
+    mx = jnp.max(x, axis=(1, 2), keepdims=True)
+    is_max = (x == mx).astype(jnp.float32)
+    ties = jnp.maximum(jnp.sum(is_max, axis=(1, 2), keepdims=True), 1.0)
+    g_max = (is_max / ties).astype(x.dtype) * dmax[:, None, None, :]
     return (jnp.broadcast_to(g_avg, x.shape) + g_max,)
 
 

@@ -354,9 +354,14 @@ class Trainer:
                 bad_epochs += 1
                 if bad_epochs >= cfg.optim.plateau_patience:
                     # reload best G and halve lr (sradsgan.py:986-1036)
-                    prev = restore_pytree(best_path)
-                    self.state = self.state.replace(
-                        g_params=jax.tree.map(jnp.asarray, prev["g_params"]))
+                    if os.path.exists(best_path):
+                        prev = restore_pytree(best_path)
+                        self.state = self.state.replace(
+                            g_params=jax.tree.map(jnp.asarray,
+                                                  prev["g_params"]))
+                    else:
+                        print("plateau: no best checkpoint yet "
+                              "(no finite-improvement epoch so far)")
                     new_lr = get_lr(self.state.g_opt) * 0.5
                     self.state = self.state.replace(
                         g_opt=set_lr(self.state.g_opt, new_lr))
