@@ -106,8 +106,10 @@ class SpatialSelfAttention(nn.Module):
                     dtype=self.dtype)(x).reshape(b, h * w, inner)
         v = nn.Conv(c, (1, 1), kernel_init=default_kernel_init,
                     dtype=self.dtype)(x).reshape(b, h * w, c)
-        energy = jnp.einsum("bqd,bkd->bqk", q, k)
-        attn = nn.softmax(energy, axis=-1)
+        # softmax in f32 regardless of compute dtype (bf16-safe)
+        energy = jnp.einsum("bqd,bkd->bqk", q, k,
+                            preferred_element_type=jnp.float32)
+        attn = nn.softmax(energy.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
         gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
         return gamma.astype(x.dtype) * out + x
@@ -126,9 +128,12 @@ class ChannelSelfAttention(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         flat = x.reshape(b, h * w, c)
-        energy = jnp.einsum("bnc,bnd->bcd", flat, flat)
+        # Gram + softmax in f32 regardless of compute dtype (bf16-safe)
+        energy = jnp.einsum("bnc,bnd->bcd", flat, flat,
+                            preferred_element_type=jnp.float32)
+        energy = energy.astype(jnp.float32)
         energy_new = jnp.max(energy, axis=-1, keepdims=True) - energy
-        attn = nn.softmax(energy_new, axis=-1)
+        attn = nn.softmax(energy_new, axis=-1).astype(flat.dtype)
         out = jnp.einsum("bcd,bnd->bnc", attn, flat).reshape(b, h, w, c)
         gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
         return gamma.astype(x.dtype) * out + x

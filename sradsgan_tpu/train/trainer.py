@@ -88,7 +88,13 @@ class Trainer:
         self.discriminator = None
         self.d_apply = None
         if self.spec.adversarial:
-            self.discriminator = self.spec.discriminator(dtype=dtype)
+            # The discriminator always computes in float32: WGAN weight
+            # clipping collapses its BatchNorm scales to +-clip_value and
+            # the bf16 backward through 7 re-normalizing layers overflows
+            # (measured: full-size bf16 GAN runs NaN within ~50 steps while
+            # f32 is stable; docs/VALIDATION.md).  D is ~1/3 of the step,
+            # so mixed G-bf16/D-f32 keeps most of the bf16 win.
+            self.discriminator = self.spec.discriminator(dtype=None)
             self.d_apply = _apply_factory(self.discriminator)
 
         self.vgg = None
