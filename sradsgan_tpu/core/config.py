@@ -48,6 +48,7 @@ class OptimConfig:
 @dataclasses.dataclass
 class GanConfig:
     gan_type: str = "wgan-gp"     # 'vanilla' | 'lsgan' | 'wgan-gp'
+    relativistic: bool = False    # RaGAN option (--relativeGan, sradsgan.py:841)
     lambda_gp: float = 10.0
     clip_value: float = 0.01      # D weight clipping (sradsgan.py:890-892)
     weight_pixel: float = 1.0

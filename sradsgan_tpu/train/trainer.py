@@ -183,7 +183,14 @@ class Trainer:
             if self.discriminator is not None:
                 fake_logits, _ = self.d_apply(state.d_params, state.d_stats,
                                               sr, True)
-                adv = adversarial_loss_g(fake_logits, cfg.gan.gan_type)
+                real_logits_g = None
+                if cfg.gan.relativistic:  # RaGAN (sradsgan.py:841-848)
+                    real_logits_g, _ = self.d_apply(state.d_params,
+                                                    state.d_stats, hr_img,
+                                                    True)
+                adv = adversarial_loss_g(fake_logits, cfg.gan.gan_type,
+                                         real_logits=real_logits_g,
+                                         relativistic=cfg.gan.relativistic)
                 loss += cfg.gan.weight_gan * adv
                 aux["adv_g"] = adv
             return loss, (sr, new_gstats, aux)
@@ -209,7 +216,8 @@ class Trainer:
                 fake_logits, stats2 = self.d_apply(d_params, stats1,
                                                    sr_detached, True)
                 loss = adversarial_loss_d(real_logits, fake_logits,
-                                          cfg.gan.gan_type)
+                                          cfg.gan.gan_type,
+                                          relativistic=cfg.gan.relativistic)
                 if cfg.gan.gan_type == "wgan-gp":
                     gp = gradient_penalty(
                         lambda x: self.d_apply(d_params, state.d_stats, x,

@@ -141,3 +141,12 @@ def test_full_state_checkpoint_with_optimizer(tmp_path):
     from sradsgan_tpu.core.checkpoint import restore_pytree
     state = restore_pytree(path)
     assert state.get("g_opt") is not None
+
+
+def test_relativistic_gan_step():
+    """RaGAN option (--relativeGan, reference sradsgan.py:841-848)."""
+    cfg = _tiny_cfg("srgan", base_filters=8, num_residuals=1)
+    cfg.gan.relativistic = True
+    trainer = Trainer(cfg)
+    out = trainer.train(num_steps=2)
+    assert np.isfinite(out["loss_G"]) and np.isfinite(out["loss_D"])
