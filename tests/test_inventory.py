@@ -132,3 +132,41 @@ def test_tiled_inference_matches_whole_image():
     np.testing.assert_allclose(tiled[b:-b, b:-b], whole[b:-b, b:-b],
                                atol=2e-4)
     np.testing.assert_allclose(tiled, whole, atol=5e-2)
+
+
+def test_augmented_conv_shapes_and_relative():
+    from sradsgan_tpu.nn.augmented_conv import AugmentedConv
+    x = jnp.zeros((2, 8, 8, 3))
+    for relative in (False, True):
+        m = AugmentedConv(out_channels=20, dk=8, dv=4, num_heads=4,
+                          relative=relative)
+        v = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(v, x)
+        assert y.shape == (2, 8, 8, 20)
+    # stride 2
+    m = AugmentedConv(out_channels=20, dk=8, dv=4, num_heads=4, stride=2)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == (2, 4, 4, 20)
+
+
+def test_feature_extractors():
+    from sradsgan_tpu.nn.extractors import (MINCNet, ResNet101FeatureExtractor,
+                                            VGGFeatureExtractor)
+    x = jnp.zeros((1, 64, 64, 3))
+    m = VGGFeatureExtractor(feature_layer=34)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    y = m.apply(v, x, train=False)
+    assert y.shape == (1, 4, 4, 512)  # conv5_4 at /16
+
+    m = VGGFeatureExtractor(feature_layer=11)  # relu3_1 (the content tap)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    assert m.apply(v, x, train=False).shape == (1, 16, 16, 256)
+
+    m = ResNet101FeatureExtractor(stage_blocks=(1, 1, 1))  # small smoke
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    y = m.apply(v, x, train=False)
+    assert y.shape[-1] == 1024
+
+    m = MINCNet()
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == (1, 4, 4, 512)
