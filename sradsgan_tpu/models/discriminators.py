@@ -98,6 +98,10 @@ class PatchDiscriminator(nn.Module):
     use_attention: bool = False       # CBAM gates after block 6
     use_global_attention: bool = False  # CAM/PAM after block 8 (intended-only)
     dtype: Optional[Any] = None
+    # BatchNorm always computes in f32 unless overridden: under WGAN weight
+    # clipping the BN scales collapse to +-clip and the bf16 backward
+    # through the normalization chain overflows (docs/VALIDATION.md).
+    norm_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -114,7 +118,8 @@ class PatchDiscriminator(nn.Module):
             if normalize:
                 x = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
                          use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, dtype=self.dtype)(x)
+                                 epsilon=1e-5, dtype=self.norm_dtype)(x)
+                x = x.astype(self.dtype or x.dtype)
             x = nn.leaky_relu(x, 0.2)
             if self.use_attention and i == 6:
                 x = ChannelGate(ratio=16, dtype=self.dtype)(x)
