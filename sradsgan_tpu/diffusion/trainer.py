@@ -121,11 +121,21 @@ class DiffusionTrainer:
     # ------------------------------------------------------------------
     def super_resolution(self, bc01: np.ndarray,
                          rng: Optional[jax.Array] = None) -> np.ndarray:
-        """Bicubic-upsampled LR [0,1] NHWC -> sampled SR [0,1]."""
+        """Bicubic-upsampled LR [0,1] NHWC -> sampled SR [0,1].
+
+        Inputs are reflect-padded to a multiple of the UNet's total
+        downsampling factor and cropped back (arbitrary scene sizes)."""
         rng = rng if rng is not None else jax.random.PRNGKey(self.step)
-        cond = jnp.asarray(bc01, jnp.float32) * 2.0 - 1.0
+        mult = 2 ** (len(self.unet.channel_mults) - 1)
+        b, h, w, c = bc01.shape
+        ph = (mult - h % mult) % mult
+        pw = (mult - w % mult) % mult
+        padded = np.pad(bc01, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                        mode="reflect") if (ph or pw) else bc01
+        cond = jnp.asarray(padded, jnp.float32) * 2.0 - 1.0
         out = self._jit_sample(self.params, cond, rng)
-        return np.asarray((out.astype(jnp.float32) + 1.0) * 0.5)
+        out = np.asarray((out.astype(jnp.float32) + 1.0) * 0.5)
+        return out[:, :h, :w, :]
 
     def super_resolution_chain(self, bc01: np.ndarray,
                                n_snapshots: int = 10,

@@ -79,3 +79,12 @@ def test_sample_chain_snapshots(tmp_path):
     chain = trainer.super_resolution_chain(bc, n_snapshots=4)
     assert chain.shape == (5, 1, 16, 16, 3)
     assert np.all(np.isfinite(chain))
+
+
+def test_sample_arbitrary_size(tmp_path):
+    """Non-multiple-of-8 scenes are padded and cropped back."""
+    trainer = _tiny_trainer(tmp_path)
+    bc = np.random.default_rng(0).random((1, 13, 11, 3)).astype(np.float32)
+    sr = trainer.super_resolution(bc)
+    assert sr.shape == (1, 13, 11, 3)
+    assert np.all(np.isfinite(sr))
