@@ -40,6 +40,10 @@ class OptimConfig:
     # training stops when lr < lr_floor (reference :804).
     plateau_patience: int = 5
     lr_floor: float = 1e-5
+    # Exact reference backtrack: rewind the epoch counter to just after the
+    # best epoch and pop `patience` stale metric-history entries on plateau
+    # (sradsgan.py:1012-1036).  Disable for strictly monotonic epoch counts.
+    plateau_rewind: bool = True
     # Reference halves NDSRGAN lr every 12 epochs instead (ndsrgan.py:395-399)
     step_decay_epochs: int = 0
     step_decay_gamma: float = 0.5
@@ -50,6 +54,12 @@ class GanConfig:
     gan_type: str = "wgan-gp"     # 'vanilla' | 'lsgan' | 'wgan-gp'
     relativistic: bool = False    # RaGAN option (--relativeGan, sradsgan.py:841)
     lambda_gp: float = 10.0
+    # The reference's gradient_penalty() calls gp.backward() INSIDE the
+    # function (sradsgan.py:639) and loss_D (incl. lambda_gp*gp) is then
+    # backpropagated again (:884-887), so the gradients applied carry an
+    # effective GP weight of (1 + lambda_gp).  Reproduced by default; set
+    # False for the textbook WGAN-GP objective.
+    gp_inner_backward: bool = True
     clip_value: float = 0.01      # D weight clipping (sradsgan.py:890-892)
     weight_pixel: float = 1.0
     weight_content: float = 1e-2  # VGG19 perceptual

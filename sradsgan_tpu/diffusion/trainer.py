@@ -29,7 +29,7 @@ from sradsgan_tpu.data.loader import DataLoader, device_prefetch
 from sradsgan_tpu.diffusion.gaussian import (Schedule, p_losses,
                                              p_sample_chain, p_sample_loop)
 from sradsgan_tpu.diffusion.unet import UNet
-from sradsgan_tpu.metrics import (compare_ergas, compare_psnr,
+from sradsgan_tpu.metrics import (compare_ergas, compare_mse, compare_psnr,
                                   compare_ssim, tensor_to_uint8)
 from sradsgan_tpu.parallel.mesh import create_mesh, replicate
 from sradsgan_tpu.utils.logging import Logger
@@ -41,13 +41,13 @@ class DiffusionTrainer:
                  schedule: str = "linear", n_timestep: int = 1000,
                  linear_start: float = 1e-4, linear_end: float = 2e-2,
                  lr: float = 1e-4, unet_kwargs: Optional[dict] = None,
-                 bf16: bool = True, seed: int = 0):
+                 bf16: bool = True, seed: int = 0, num_devices: int = -1):
         self.data_cfg = data_cfg
         self.scale = scale
         self.save_dir = save_dir
         self.sched = Schedule.create(schedule, n_timestep, linear_start,
                                      linear_end)
-        self.mesh = create_mesh()
+        self.mesh = create_mesh(num_devices)
         self.logger = Logger("gdp", os.path.join(save_dir, "logs"))
         dtype = jnp.bfloat16 if bf16 else None
         unet_kwargs = dict(unet_kwargs or {})
@@ -162,11 +162,20 @@ class DiffusionTrainer:
         kwargs.update(overrides)
         return cls(data_cfg, save_dir=save_dir, **kwargs)
 
-    def validate(self, max_images: int = 4) -> Dict[str, float]:
-        """Full metric suite vs bicubic (reference sr_mfe.py:124-261)."""
+    def validate(self, max_images: int = 4,
+                 result_dir: Optional[str] = None) -> Dict[str, float]:
+        """Full metric suite vs the bicubic twin (reference sr_mfe.py:124-261):
+        MSE/PSNR/SSIM/ERGAS/LPIPS for both the sampled SR and the bicubic
+        baseline, plus per-image hr/sr/lr/inf ``.tif`` dumps when
+        ``result_dir`` is given (the reference's Metrics.save_img calls)."""
+        from sradsgan_tpu.losses.lpips import lpips_fn, lpips_is_calibrated
         ds = build_test_dataset(self.data_cfg, self.scale)
         loader = DataLoader(ds, min(max_images, 4), shuffle=False,
                             drop_last=False, num_workers=2)
+        lpips = lpips_fn()
+        lpips_key = "lpips" if lpips_is_calibrated() else "lpips*"
+        if result_dir:
+            os.makedirs(result_dir, exist_ok=True)
         rows = []
         seen = 0
         for batch in loader:
@@ -174,28 +183,57 @@ class DiffusionTrainer:
             for i in range(sr.shape[0]):
                 if seen >= max_images:
                     break
+                seen += 1
                 sr_u8 = tensor_to_uint8(sr[i])
                 hr_u8 = tensor_to_uint8(batch["hr"][i])
                 bc_u8 = tensor_to_uint8(batch["bc"][i])
                 rows.append({
+                    "mse": compare_mse(sr_u8, hr_u8),
                     "psnr": compare_psnr(sr_u8, hr_u8),
                     "ssim": compare_ssim(sr_u8, hr_u8),
                     "ergas": compare_ergas(hr_u8, sr_u8, self.scale),
+                    lpips_key: lpips(sr[i], batch["hr"][i]),
+                    "bc_mse": compare_mse(bc_u8, hr_u8),
                     "bc_psnr": compare_psnr(bc_u8, hr_u8),
+                    "bc_ssim": compare_ssim(bc_u8, hr_u8),
+                    "bc_ergas": compare_ergas(hr_u8, bc_u8, self.scale),
+                    "bc_" + lpips_key: lpips(batch["bc"][i], batch["hr"][i]),
                 })
-                seen += 1
+                if result_dir:
+                    import cv2
+                    lr_u8 = tensor_to_uint8(batch["lr"][i])
+                    for name, img in (("hr", hr_u8), ("sr", sr_u8),
+                                      ("lr", lr_u8), ("inf", bc_u8)):
+                        cv2.imwrite(os.path.join(
+                            result_dir, f"{self.step}_{seen}_{name}.tif"),
+                            img[..., ::-1])  # RGB -> cv2 BGR
             if seen >= max_images:
                 break
         return {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, tag: str = "latest") -> str:
+        """Save params AND optimizer state (the reference saves gen + opt so
+        an 866,800-iter run is resumable, GDP_x0/model/model.py:126-146)."""
         path = os.path.join(self.save_dir, f"gdp_ckpt_{tag}")
         save_pytree(path, {"params": self.params,
-                           "opt_state_step": np.asarray(self.step)})
+                           "opt_state": self.opt_state,
+                           "step": np.asarray(self.step)})
         return path
 
     def load_checkpoint(self, path: str) -> None:
-        state = restore_pytree(path)
+        """Restore params, optimizer state, and step counter
+        (GDP_x0/model/model.py:148-168 resume_state)."""
+        try:
+            # full-state restore against the live structure (keeps the
+            # optax NamedTuple chain intact)
+            state = restore_pytree(path, {"params": self.params,
+                                          "opt_state": self.opt_state,
+                                          "step": np.asarray(self.step)})
+            self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        except Exception:
+            # params-only checkpoint (pre-r2 format)
+            state = restore_pytree(path)
         self.params = jax.tree.map(jnp.asarray, state["params"])
-        self.step = int(state.get("opt_state_step", 0))
+        self.step = int(np.asarray(
+            state.get("step", state.get("opt_state_step", 0))))

@@ -79,16 +79,31 @@ def adversarial_loss_d(real_logits: jnp.ndarray, fake_logits: jnp.ndarray,
     return l_real + l_fake
 
 
-def gradient_penalty(d_fn: Callable[[jnp.ndarray], jnp.ndarray],
-                     real: jnp.ndarray, fake: jnp.ndarray,
+def gradient_penalty(d_fn: Callable, real: jnp.ndarray, fake: jnp.ndarray,
                      rng: jax.Array, lp_norm: str = "l2",
-                     penalty_type: str = "ls") -> jnp.ndarray:
-    """WGAN gradient penalty on random interpolates (sradsgan.py:595-641)."""
+                     penalty_type: str = "ls", with_stats: bool = False):
+    """WGAN gradient penalty on random interpolates (sradsgan.py:595-641).
+
+    The reference evaluates D(interp) with the module in train mode (the
+    whole net is inside ``net.train()``), so its BatchNorm layers normalize
+    by the interpolate batch's own statistics AND update the running stats.
+    With ``with_stats=True``, ``d_fn`` must return ``(logits, new_stats)``
+    and this function returns ``(gp, new_stats)`` so the trainer can thread
+    the running-stat update like torch does.
+    """
     b = real.shape[0]
     alpha = jax.random.uniform(rng, (b, 1, 1, 1), dtype=real.dtype)
     interp = alpha * real + (1.0 - alpha) * fake
 
-    grads = jax.grad(lambda x: jnp.sum(d_fn(x).astype(jnp.float32)))(interp)
+    if with_stats:
+        def inner(x):
+            logits, stats = d_fn(x)
+            return jnp.sum(logits.astype(jnp.float32)), stats
+
+        grads, stats = jax.grad(inner, has_aux=True)(interp)
+    else:
+        grads = jax.grad(
+            lambda x: jnp.sum(d_fn(x).astype(jnp.float32)))(interp)
     grads = grads.astype(jnp.float32)
     # Channel-axis norm per position (reference .norm(p, 1) on NCHW).
     if lp_norm == "linf":
@@ -101,4 +116,5 @@ def gradient_penalty(d_fn: Callable[[jnp.ndarray], jnp.ndarray],
         constraint = jax.nn.relu(norm - 1.0)
     else:  # 'ls'
         constraint = (norm - 1.0) ** 2
-    return jnp.mean(constraint)
+    gp = jnp.mean(constraint)
+    return (gp, stats) if with_stats else gp

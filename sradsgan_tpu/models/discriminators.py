@@ -20,6 +20,8 @@ from typing import Any, Optional, Sequence, Tuple
 
 from flax import linen as nn
 
+from sradsgan_tpu.nn.norm import BatchNorm
+
 from sradsgan_tpu.nn.attention import (ChannelGate, ChannelSelfAttention,
                                        SpatialGate, SpatialSelfAttention)
 from sradsgan_tpu.nn.blocks import default_kernel_init
@@ -55,14 +57,14 @@ class VGGStyleDiscriminator(nn.Module):
             x = nn.Conv(out_nf, (3, 3), padding="SAME", use_bias=i == 0,
                         kernel_init=default_kernel_init, dtype=self.dtype)(x)
             if i > 0:
-                x = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+                x = BatchNorm(
                          use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype)(x)
             x = nn.leaky_relu(x, 0.2)
             x = nn.Conv(out_nf, (4, 4), strides=(2, 2), padding="SAME",
                         use_bias=False, kernel_init=default_kernel_init,
                         dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+            x = BatchNorm(
                          use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype)(x)
             x = nn.leaky_relu(x, 0.2)
@@ -116,7 +118,7 @@ class PatchDiscriminator(nn.Module):
                         kernel_init=default_kernel_init,
                         dtype=self.dtype)(x)
             if normalize:
-                x = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+                x = BatchNorm(
                          use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.norm_dtype)(x)
                 x = x.astype(self.dtype or x.dtype)

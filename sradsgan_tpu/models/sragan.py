@@ -15,6 +15,8 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from sradsgan_tpu.nn.norm import BatchNorm
+
 from sradsgan_tpu.nn.attention import GlobalAttention, LocalAttention
 from sradsgan_tpu.nn.blocks import ConvBlock, default_kernel_init, UpsampleHead
 from sradsgan_tpu.ops.pixelshuffle import pixel_shuffle
@@ -90,7 +92,7 @@ class SRAGANGenerator(nn.Module):
             out = SRAGANGroup(f, self.n_blocks, dtype=self.dtype)(out)
         out = nn.Conv(f, (3, 3), padding="SAME",
                       kernel_init=default_kernel_init, dtype=self.dtype)(out)
-        out = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+        out = BatchNorm(
                          use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, dtype=self.dtype)(out)
         out = out1 + out
@@ -105,7 +107,7 @@ class SRAGANGenerator(nn.Module):
             up_conv = nn.Conv(f * r0 * r0, (3, 3), padding="SAME",
                               kernel_init=default_kernel_init,
                               dtype=self.dtype)
-            up_bn = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+            up_bn = BatchNorm(
                          use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5,
                                  dtype=self.dtype)

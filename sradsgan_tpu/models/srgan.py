@@ -12,6 +12,8 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from sradsgan_tpu.nn.norm import BatchNorm
+
 from sradsgan_tpu.nn.blocks import (ConvBlock, default_kernel_init,
                                     UpsampleHead)
 from sradsgan_tpu.ops.pixelshuffle import pixel_shuffle
@@ -50,7 +52,7 @@ class SRGANGenerator(nn.Module):
             up_conv = nn.Conv(f * r0 * r0, (3, 3), padding="SAME",
                               kernel_init=default_kernel_init,
                               dtype=self.dtype)
-            up_bn = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+            up_bn = BatchNorm(
                          use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5,
                                  dtype=self.dtype)

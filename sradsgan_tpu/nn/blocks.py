@@ -22,6 +22,8 @@ from typing import Any, Callable, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from sradsgan_tpu.nn.norm import BatchNorm
+
 from sradsgan_tpu.ops.pixelshuffle import pixel_shuffle
 
 Dtype = Any
@@ -37,7 +39,10 @@ def make_act(name: Optional[str]) -> Optional[Callable]:
         "relu": nn.relu,
         "lrelu": lambda x: nn.leaky_relu(x, 0.2),
         "lrelu01": lambda x: nn.leaky_relu(x, 0.01),
-        "prelu": nn.relu,  # PReLU-init slope 0.25 handled by PReLU module where needed
+        # Real learned PReLU (torch default: one slope, init 0.25).  The
+        # lambda instantiates the module lazily so it binds as a child of
+        # whatever compact module calls the returned activation.
+        "prelu": lambda x: PReLU()(x),
         "tanh": nn.tanh,
         "sigmoid": nn.sigmoid,
         "gelu": nn.gelu,
@@ -70,7 +75,7 @@ class ConvBlock(nn.Module):
                     padding="SAME", use_bias=self.use_bias,
                     kernel_init=default_kernel_init, dtype=self.dtype)(x)
         if self.norm == "batch":
-            x = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+            x = BatchNorm(
                          use_running_average=not train,
                              momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
         elif self.norm == "instance":
@@ -192,7 +197,7 @@ class DeconvBlock(nn.Module):
                              kernel_init=default_kernel_init,
                              dtype=self.dtype)(x)
         if self.norm == "batch":
-            x = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+            x = BatchNorm(
                          use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype)(x)
         act = make_act(self.activation)
@@ -225,7 +230,7 @@ class Upsample2xBlock(nn.Module):
         else:
             raise ValueError(f"unknown upsample mode {self.upsample!r}")
         if self.norm == "batch":
-            x = nn.BatchNorm(use_fast_variance=False,  # bf16-safe variance
+            x = BatchNorm(
                          use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype)(x)
         act = make_act(self.activation)

@@ -16,6 +16,8 @@ from typing import Any, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from sradsgan_tpu.nn.norm import BatchNorm
+
 # VGG19 conv plan: (channels, convs-per-stage)
 _VGG19_PLAN: Tuple[Tuple[int, int], ...] = ((64, 2), (128, 2), (256, 4),
                                             (512, 4), (512, 4))
@@ -52,7 +54,7 @@ class VGGFeatureExtractor(nn.Module):
                             dtype=self.dtype)(x)
                 idx += 1
                 if self.use_bn:
-                    x = nn.BatchNorm(use_fast_variance=False,
+                    x = BatchNorm(
                                      use_running_average=not train,
                                      dtype=self.dtype)(x)
                     idx += 1
@@ -77,23 +79,23 @@ class _Bottleneck(nn.Module):
         residual = x
         y = nn.Conv(self.features, (1, 1), use_bias=False,
                     dtype=self.dtype)(x)
-        y = nn.BatchNorm(use_fast_variance=False,
+        y = BatchNorm(
                          use_running_average=not train, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
                     padding="SAME", use_bias=False, dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_fast_variance=False,
+        y = BatchNorm(
                          use_running_average=not train, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
                     dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_fast_variance=False,
+        y = BatchNorm(
                          use_running_average=not train, dtype=self.dtype)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features * 4, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False,
                                dtype=self.dtype)(x)
-            residual = nn.BatchNorm(use_fast_variance=False,
+            residual = BatchNorm(
                                     use_running_average=not train,
                                     dtype=self.dtype)(residual)
         return nn.relu(y + residual)
@@ -117,7 +119,7 @@ class ResNet101FeatureExtractor(nn.Module):
                 _IMAGENET_STD, x.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_fast_variance=False,
+        x = BatchNorm(
                          use_running_average=not train, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2),

@@ -158,45 +158,86 @@ class Trainer:
     # ------------------------------------------------------------------
     # The single jitted step
     # ------------------------------------------------------------------
+    def _pixel_content_loss(self, sr, hr_img, aux):
+        cfg, spec = self.cfg, self.spec
+        loss = jnp.float32(0.0)
+        p_loss = pixel_loss(sr, hr_img, spec.pixel_loss)
+        loss += cfg.gan.weight_pixel * p_loss
+        aux["pixel"] = p_loss
+        if self.vgg is not None and cfg.gan.weight_content > 0:
+            feat_sr = self.vgg.apply({"params": self.vgg_params}, sr)
+            feat_hr = jax.lax.stop_gradient(
+                self.vgg.apply({"params": self.vgg_params}, hr_img))
+            c_loss = pixel_loss(feat_sr, feat_hr, spec.pixel_loss)
+            loss += cfg.gan.weight_content * c_loss
+            aux["content"] = c_loss
+        return loss
+
     def _train_step(self, state: GANTrainState, batch: Dict[str, jnp.ndarray],
                     rng: jax.Array):
         cfg = self.cfg
-        spec = self.spec
         lr_img, hr_img = batch["lr"], batch["hr"]
         metrics: Dict[str, jnp.ndarray] = {}
 
-        # ---------------- G update ----------------
-        def g_loss_fn(g_params):
-            sr, new_gstats = self.g_apply(g_params, state.g_stats, lr_img,
-                                          True)
-            loss = jnp.float32(0.0)
-            p_loss = pixel_loss(sr, hr_img, spec.pixel_loss)
-            loss += cfg.gan.weight_pixel * p_loss
-            aux = {"pixel": p_loss}
-            if self.vgg is not None and cfg.gan.weight_content > 0:
-                feat_sr = self.vgg.apply({"params": self.vgg_params}, sr)
-                feat_hr = jax.lax.stop_gradient(
-                    self.vgg.apply({"params": self.vgg_params}, hr_img))
-                c_loss = pixel_loss(feat_sr, feat_hr, spec.pixel_loss)
-                loss += cfg.gan.weight_content * c_loss
-                aux["content"] = c_loss
-            if self.discriminator is not None:
-                fake_logits, _ = self.d_apply(state.d_params, state.d_stats,
-                                              sr, True)
-                real_logits_g = None
-                if cfg.gan.relativistic:  # RaGAN (sradsgan.py:841-848)
-                    real_logits_g, _ = self.d_apply(state.d_params,
-                                                    state.d_stats, hr_img,
-                                                    True)
-                adv = adversarial_loss_g(fake_logits, cfg.gan.gan_type,
-                                         real_logits=real_logits_g,
-                                         relativistic=cfg.gan.relativistic)
-                loss += cfg.gan.weight_gan * adv
-                aux["adv_g"] = adv
-            return loss, (sr, new_gstats, aux)
+        # For (non-relativistic) WGAN the G adversarial term and the D fake
+        # term are both linear in mean(D(sr)), so ONE D(sr) forward+backward
+        # serves both updates: grad_d of the joint G loss is
+        # -weight_gan * grad_d mean(D(sr)), which rescales into the D fake
+        # grads.  The reference (and our round-1 step) pays this D(sr) pass
+        # twice (model/sradsgan.py:832-892); the logits are identical in
+        # both places (same weights, same batch — BN train mode normalizes
+        # by batch statistics), so sharing is semantics-preserving.
+        shared_fake = (self.discriminator is not None
+                       and cfg.gan.gan_type == "wgan-gp"
+                       and not cfg.gan.relativistic
+                       and cfg.gan.weight_gan > 0)
 
-        (loss_g, (sr, new_gstats, aux)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g_params)
+        if shared_fake:
+            w_gan = cfg.gan.weight_gan
+
+            def joint_fn(g_params, d_params):
+                sr, new_gstats = self.g_apply(g_params, state.g_stats,
+                                              lr_img, True)
+                aux: Dict[str, jnp.ndarray] = {}
+                loss = self._pixel_content_loss(sr, hr_img, aux)
+                fake_logits, d_stats_fake = self.d_apply(d_params,
+                                                         state.d_stats, sr,
+                                                         True)
+                mean_fake = jnp.mean(fake_logits.astype(jnp.float32))
+                aux["adv_g"] = -mean_fake
+                loss = loss + w_gan * -mean_fake
+                return loss, (sr, new_gstats, d_stats_fake, mean_fake, aux)
+
+            (loss_g, (sr, new_gstats, d_stats_fake, mean_fake, aux)), \
+                (g_grads, d_grads_scaled) = jax.value_and_grad(
+                    joint_fn, argnums=(0, 1), has_aux=True)(
+                        state.g_params, state.d_params)
+            d_grads_fake = jax.tree.map(lambda t: t / -w_gan, d_grads_scaled)
+        else:
+            def g_loss_fn(g_params):
+                sr, new_gstats = self.g_apply(g_params, state.g_stats,
+                                              lr_img, True)
+                aux: Dict[str, jnp.ndarray] = {}
+                loss = self._pixel_content_loss(sr, hr_img, aux)
+                if self.discriminator is not None:
+                    fake_logits, _ = self.d_apply(state.d_params,
+                                                  state.d_stats, sr, True)
+                    real_logits_g = None
+                    if cfg.gan.relativistic:  # RaGAN (sradsgan.py:841-848)
+                        real_logits_g, _ = self.d_apply(state.d_params,
+                                                        state.d_stats,
+                                                        hr_img, True)
+                    adv = adversarial_loss_g(
+                        fake_logits, cfg.gan.gan_type,
+                        real_logits=real_logits_g,
+                        relativistic=cfg.gan.relativistic)
+                    loss += cfg.gan.weight_gan * adv
+                    aux["adv_g"] = adv
+                return loss, (sr, new_gstats, aux)
+
+            (loss_g, (sr, new_gstats, aux)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.g_params)
+
         g_updates, new_g_opt = self.g_opt_tx.update(g_grads, state.g_opt,
                                                     state.g_params)
         new_g_params = jax.tree.map(lambda p, u: p + u, state.g_params,
@@ -206,7 +247,43 @@ class Trainer:
 
         new_d_params, new_d_stats, new_d_opt = (state.d_params,
                                                 state.d_stats, state.d_opt)
-        if self.discriminator is not None:
+        # Effective GP gradient weight: the reference backprops the penalty
+        # once inside gradient_penalty() and again via loss_D
+        # (sradsgan.py:639, :884-887).
+        gp_w = cfg.gan.lambda_gp + (1.0 if cfg.gan.gp_inner_backward else 0.0)
+
+        if self.discriminator is not None and shared_fake:
+            sr_detached = jax.lax.stop_gradient(sr)
+
+            # ---------------- D update (real + GP; fake grads shared) -----
+            def d_real_fn(d_params):
+                real_logits, d_stats_real = self.d_apply(
+                    d_params, d_stats_fake, hr_img, True)
+                loss = -jnp.mean(real_logits.astype(jnp.float32))
+                # The reference runs FOUR train-mode D forwards per step
+                # (sr, hr, sr.detach(), interp — sradsgan.py:840,877,878,
+                # 612), each updating BN running stats.  The shared fake
+                # forward covers sr once; replay the second sr EMA update
+                # algebraically (updates with identical batch stats b obey
+                # r' = m*r2 + (r1 - m*r0) where r1 = m*r0 + (1-m)*b).
+                m = 0.9  # BN momentum used across the zoo's discriminators
+                stats3 = jax.tree.map(
+                    lambda r2, r1, r0: m * r2 + (r1 - m * r0),
+                    d_stats_real, d_stats_fake, state.d_stats)
+                gp, stats4 = gradient_penalty(
+                    lambda x: self.d_apply(d_params, stats3, x, True),
+                    hr_img, sr_detached, rng, with_stats=True)
+                return loss + gp_w * gp, (stats4, gp)
+
+            ((loss_d_partial, (new_d_stats, gp_val)),
+             d_grads_real) = jax.value_and_grad(
+                 d_real_fn, has_aux=True)(state.d_params)
+            d_grads = jax.tree.map(jnp.add, d_grads_real, d_grads_fake)
+            # reported loss matches the reference's logged
+            # loss_D = real + fake + lambda_gp*gp (not the 1+lambda grad)
+            loss_d = (loss_d_partial - gp_w * gp_val
+                      + cfg.gan.lambda_gp * gp_val + mean_fake)
+        elif self.discriminator is not None:
             sr_detached = jax.lax.stop_gradient(sr)
 
             # ---------------- D update ----------------
@@ -218,16 +295,20 @@ class Trainer:
                 loss = adversarial_loss_d(real_logits, fake_logits,
                                           cfg.gan.gan_type,
                                           relativistic=cfg.gan.relativistic)
+                gp_val = jnp.float32(0.0)
                 if cfg.gan.gan_type == "wgan-gp":
-                    gp = gradient_penalty(
-                        lambda x: self.d_apply(d_params, state.d_stats, x,
-                                               False)[0],
-                        hr_img, sr_detached, rng)
-                    loss = loss + cfg.gan.lambda_gp * gp
-                return loss, stats2
+                    gp_val, stats2 = gradient_penalty(
+                        lambda x: self.d_apply(d_params, stats2, x, True),
+                        hr_img, sr_detached, rng, with_stats=True)
+                    loss = loss + gp_w * gp_val
+                return loss, (stats2, gp_val)
 
-            (loss_d, new_d_stats), d_grads = jax.value_and_grad(
-                d_loss_fn, has_aux=True)(state.d_params)
+            ((loss_d_raw, (new_d_stats, gp_val)),
+             d_grads) = jax.value_and_grad(
+                 d_loss_fn, has_aux=True)(state.d_params)
+            loss_d = loss_d_raw - gp_w * gp_val + cfg.gan.lambda_gp * gp_val
+
+        if self.discriminator is not None:
             d_updates, new_d_opt = self.d_opt_tx.update(d_grads, state.d_opt,
                                                         state.d_params)
             new_d_params = jax.tree.map(lambda p, u: p + u, state.d_params,
@@ -290,8 +371,10 @@ class Trainer:
         dataset = build_train_dataset(cfg.data, cfg.scale)
         rng = jax.random.PRNGKey(cfg.seed + 1)
 
-        best = {"psnr": -np.inf, "ssim": -np.inf, "ergas": np.inf}
+        # reference-style maxima init (sradsgan.py:795-799: 0 / 0 / 10000)
+        best = {"psnr": 0.0, "ssim": 0.0, "ergas": 10000.0}
         best_path = os.path.join(cfg.model_dir, "ckpt_best")
+        best_epoch = cfg.start_epoch
         bad_epochs = 0
         step_count = 0
         t0 = time.time()
@@ -305,7 +388,8 @@ class Trainer:
         # With an explicit num_steps budget the epoch cap is lifted (smoke
         # runs and benchmarking drive by steps, not epochs).
         max_epochs = cfg.num_epochs if num_steps is None else 10 ** 9
-        for epoch in range(cfg.start_epoch, max_epochs):
+        epoch = cfg.start_epoch
+        while epoch < max_epochs:
             lr_now = get_lr(self.state.g_opt)
             if lr_now < cfg.optim.lr_floor:  # stop rule (sradsgan.py:804)
                 print(f"lr {lr_now:.2e} below floor; stopping")
@@ -351,39 +435,27 @@ class Trainer:
                     self.history[k].append(float(metrics[k]))
             for k in ("psnr", "ssim", "ergas"):
                 self.history[k].append(val[k])
-            # reference resets the plateau counter when ANY tracked metric
-            # improves (sradsgan.py:986-1036)
-            improved = (val["psnr"] > best["psnr"]
-                        or val["ssim"] > best["ssim"]
-                        or val["ergas"] < best["ergas"])
+            # Metric maxima are tracked reference-style: the elif chain means
+            # only the FIRST improving metric updates its stored best, and
+            # any improvement resets the counter and marks this epoch best
+            # (sradsgan.py:986-1003; lpips joins the chain when available).
+            improved = True
+            if val["psnr"] > best["psnr"]:
+                best["psnr"] = val["psnr"]
+            elif val["ssim"] > best["ssim"]:
+                best["ssim"] = val["ssim"]
+            elif val["ergas"] < best["ergas"]:
+                best["ergas"] = val["ergas"]
+            else:
+                improved = False
             if improved:
-                best["psnr"] = max(best["psnr"], val["psnr"])
-                best["ssim"] = max(best["ssim"], val["ssim"])
-                best["ergas"] = min(best["ergas"], val["ergas"])
                 bad_epochs = 0
+                best_epoch = epoch
                 save_pytree(best_path, {"g_params": self.state.g_params,
                                         "g_stats": self.state.g_stats,
                                         "d_params": self.state.d_params})
             else:
                 bad_epochs += 1
-                if bad_epochs >= cfg.optim.plateau_patience:
-                    # reload best G and halve lr (sradsgan.py:986-1036)
-                    if os.path.exists(best_path):
-                        prev = restore_pytree(best_path)
-                        self.state = self.state.replace(
-                            g_params=jax.tree.map(jnp.asarray,
-                                                  prev["g_params"]))
-                    else:
-                        print("plateau: no best checkpoint yet "
-                              "(no finite-improvement epoch so far)")
-                    new_lr = get_lr(self.state.g_opt) * 0.5
-                    self.state = self.state.replace(
-                        g_opt=set_lr(self.state.g_opt, new_lr))
-                    if self.state.d_opt is not None:
-                        self.state = self.state.replace(
-                            d_opt=set_lr(self.state.d_opt, new_lr))
-                    bad_epochs = 0
-                    print(f"plateau: reloaded best, lr -> {new_lr:.2e}")
             if (cfg.optim.step_decay_epochs
                     and (epoch + 1) % cfg.optim.step_decay_epochs == 0):
                 new_lr = get_lr(self.state.g_opt) * cfg.optim.step_decay_gamma
@@ -392,6 +464,39 @@ class Trainer:
 
             if (epoch + 1) % cfg.save_epochs == 0:
                 self.save_checkpoint(epoch)
+            epoch += 1
+
+            if bad_epochs >= cfg.optim.plateau_patience:
+                # Plateau backtrack (sradsgan.py:1012-1036): reload the best
+                # G, halve the G lr always; halve the D lr only once the
+                # PRE-halving lr has dropped below 1e-4 (the reference checks
+                # ``self.lr < 0.0001`` before ``self.lr /= 2``); rewind the
+                # epoch counter to just after the best epoch and pop the
+                # stale metric history.
+                if os.path.exists(best_path):
+                    prev = restore_pytree(best_path)
+                    self.state = self.state.replace(
+                        g_params=jax.tree.map(jnp.asarray, prev["g_params"]))
+                else:
+                    print("plateau: no best checkpoint yet "
+                          "(no finite-improvement epoch so far)")
+                cur_lr = get_lr(self.state.g_opt)
+                self.state = self.state.replace(
+                    g_opt=set_lr(self.state.g_opt, cur_lr * 0.5))
+                if self.state.d_opt is not None and cur_lr < 1e-4:
+                    self.state = self.state.replace(
+                        d_opt=set_lr(self.state.d_opt,
+                                     get_lr(self.state.d_opt) * 0.5))
+                bad_epochs = 0
+                print(f"plateau: reloaded best, lr -> {cur_lr * 0.5:.2e}")
+                if cfg.optim.plateau_rewind:
+                    epoch = best_epoch + 1
+                    # the reference pops only the METRIC histories, not the
+                    # loss curves (sradsgan.py:1032-1036)
+                    for k in ("psnr", "ssim", "ergas"):
+                        hist = self.history[k]
+                        del hist[len(hist) - min(cfg.optim.plateau_patience,
+                                                 len(hist)):]
 
         from sradsgan_tpu.utils.plotting import plot_curves
         plot_curves(self.history,

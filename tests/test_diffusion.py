@@ -56,9 +56,54 @@ def test_diffusion_train_and_sample(tmp_path):
 
 
 def test_diffusion_validate(tmp_path):
+    """Full metric suite incl. LPIPS + .tif dumps (reference
+    sr_mfe.py:124-261)."""
+    import os
+
     trainer = _tiny_trainer(tmp_path)
-    val = trainer.validate(max_images=2)
-    assert np.isfinite(val["psnr"]) and np.isfinite(val["bc_psnr"])
+    result_dir = str(tmp_path / "val_out")
+    val = trainer.validate(max_images=2, result_dir=result_dir)
+    for key in ("mse", "psnr", "ssim", "ergas", "bc_mse", "bc_psnr",
+                "bc_ssim", "bc_ergas"):
+        assert np.isfinite(val[key]), (key, val)
+    assert any(k.startswith("lpips") for k in val)       # lpips or lpips*
+    tifs = sorted(os.listdir(result_dir))
+    # 2 images x {hr, sr, lr, inf}
+    assert len(tifs) == 8 and all(t.endswith(".tif") for t in tifs), tifs
+    import cv2
+    img = cv2.imread(os.path.join(result_dir, tifs[0]))
+    assert img is not None and img.ndim == 3
+
+
+def test_diffusion_resume_restores_optimizer(tmp_path):
+    """Checkpoints carry optimizer state so long runs resume exactly
+    (reference GDP_x0/model/model.py:126-168)."""
+    trainer = _tiny_trainer(tmp_path)
+    trainer.train(n_iter=2)
+    path = trainer.save_checkpoint("resume")
+    mu_before = jax.tree.leaves(trainer.opt_state)[1]  # adam mu leaf
+
+    fresh = _tiny_trainer(tmp_path)
+    assert fresh.step == 0
+    fresh.load_checkpoint(path)
+    assert fresh.step == 2
+    mu_after = jax.tree.leaves(fresh.opt_state)[1]
+    np.testing.assert_allclose(np.asarray(mu_before), np.asarray(mu_after))
+    # params restored too
+    p0 = jax.tree.leaves(trainer.params)[0]
+    p1 = jax.tree.leaves(fresh.params)[0]
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_diffusion_honors_num_devices(tmp_path):
+    cfg = DataConfig(synthetic=True, synthetic_size=8, crop_size=16,
+                     test_crop_size=16, batch_size=4, num_workers=2)
+    trainer = DiffusionTrainer(cfg, scale=2, save_dir=str(tmp_path),
+                               n_timestep=4, bf16=False, num_devices=2,
+                               unet_kwargs={"inner_channel": 32,
+                                            "channel_mults": (1, 2),
+                                            "res_blocks": 1})
+    assert trainer.mesh.devices.size == 2
 
 
 def test_gdp_config_loading():

@@ -79,3 +79,31 @@ def test_hat_default_window_rule():
     assert HAT(scale=4)._window() == 9
     assert HAT(scale=3)._window() == 8
     assert HAT(scale=9)._window() == 8
+
+
+def test_make_act_prelu_is_learned():
+    """make_act('prelu') must create a real PReLU param, not silently
+    return ReLU (torch nn.PReLU: one learned slope, init 0.25)."""
+    import jax
+    import numpy as np
+    from flax import linen as nn
+
+    from sradsgan_tpu.nn.blocks import ConvBlock, make_act
+
+    blk = ConvBlock(4, activation="prelu")
+    x = jnp.ones((1, 4, 4, 3))
+    variables = blk.init(jax.random.PRNGKey(0), x)
+    paths = [jax.tree_util.keystr(p) for p, _ in
+             jax.tree_util.tree_flatten_with_path(variables)[0]]
+    assert any("alpha" in p for p in paths), paths
+
+    # standalone: negative inputs scaled by 0.25 at init
+    class Wrap(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return make_act("prelu")(x)
+
+    w = Wrap()
+    v = w.init(jax.random.PRNGKey(0), x)
+    y = w.apply(v, jnp.array([[-2.0, 3.0]]))
+    np.testing.assert_allclose(np.asarray(y), [[-0.5, 3.0]])

@@ -111,6 +111,8 @@ def test_shared_upsample_param_counts():
 def test_plateau_backtrack_halves_lr(monkeypatch, tmp_path):
     """After `patience` non-improving epochs the trainer reloads the best
     checkpoint and halves the lr (reference sradsgan.py:986-1036)."""
+    import itertools
+
     from sradsgan_tpu.train.state import get_lr
 
     cfg = _tiny_cfg("edsr", base_filters=8, num_residuals=1)
@@ -119,7 +121,7 @@ def test_plateau_backtrack_halves_lr(monkeypatch, tmp_path):
     cfg.num_epochs = 6
     trainer = Trainer(cfg)
 
-    vals = iter([30.0, 29.0, 28.0, 27.0, 26.0, 25.0, 24.0, 23.0])
+    vals = (30.0 - 0.5 * i for i in itertools.count())
 
     def fake_validate(max_batches=None):
         v = next(vals)
@@ -130,6 +132,56 @@ def test_plateau_backtrack_halves_lr(monkeypatch, tmp_path):
     lr0 = get_lr(trainer.state.g_opt)
     trainer.train()
     assert get_lr(trainer.state.g_opt) <= lr0 * 0.5 + 1e-12
+
+
+def test_plateau_rewind_and_history_pop(monkeypatch, tmp_path):
+    """Exact reference backtrack (sradsgan.py:1012-1036): the epoch counter
+    rewinds to best_epoch+1, `patience` metric-history entries pop, the G lr
+    halves every plateau, and the D lr halves only once the pre-halving lr
+    has dropped below 1e-4."""
+    import itertools
+
+    from sradsgan_tpu.train.state import get_lr
+
+    cfg = _tiny_cfg("srgan", base_filters=8, num_residuals=1)
+    cfg.save_dir = str(tmp_path)
+    cfg.optim.plateau_patience = 2
+    cfg.optim.lr = 2e-4
+    cfg.num_epochs = 5
+    cfg.data.synthetic_size = 8  # one step per epoch keeps this test fast
+    trainer = Trainer(cfg)
+
+    epochs_seen = []
+    vals = (30.0 - 0.5 * i for i in itertools.count())
+
+    def fake_validate(max_batches=None):
+        v = next(vals)
+        return {"psnr": v, "ssim": v / 100, "ergas": 100.0 - v,
+                "bc_psnr": 30.0, "bc_ssim": 0.9}
+
+    orig_log = trainer.logger.print_format_results
+
+    def spy_log(mode, results):
+        if mode == "val":
+            epochs_seen.append(results["epoch"])
+        return orig_log(mode, results)
+
+    monkeypatch.setattr(trainer, "validate", fake_validate)
+    monkeypatch.setattr(trainer.logger, "print_format_results", spy_log)
+    trainer.train()
+
+    # reference maxima init is 0/0/10000 with an elif chain, so on a
+    # monotonically degrading run epoch 0 improves psnr, 1 improves ssim,
+    # 2 improves ergas; 3,4 plateau -> rewind to best_epoch(2)+1 = 3
+    assert epochs_seen[:6] == [0, 1, 2, 3, 4, 3], epochs_seen
+    # after the first plateau the history kept only the best epoch's entry
+    # (2 popped of 3); training then stops at the lr floor
+    g_lr = get_lr(trainer.state.g_opt)
+    d_lr = get_lr(trainer.state.d_opt)
+    assert g_lr < 2e-4
+    # D halves only for plateaus where the pre-halve lr < 1e-4: the G lr
+    # path is 2e-4 -> 1e-4 -> 5e-5 -> ... while D skips the first two.
+    assert d_lr > g_lr
 
 
 def test_full_state_checkpoint_with_optimizer(tmp_path):
