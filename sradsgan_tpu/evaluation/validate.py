@@ -97,6 +97,16 @@ class Evaluator:
             OrderedDict()
         num = 0
         for batch in loader:
+            # Pad the tail batch up to the bucket size so every forward
+            # reuses ONE compiled program — a fresh shape costs a full XLA
+            # compile (minutes through this environment's remote relay).
+            n_valid = batch["lr"].shape[0]
+            if n_valid < self.batch_size:
+                pad = self.batch_size - n_valid
+                batch = {k: (np.concatenate(
+                    [v, np.repeat(v[-1:], pad, axis=0)])
+                    if isinstance(v, np.ndarray) else v)
+                    for k, v in batch.items()}
             sr = self.super_resolve(batch["lr"])
             lp_sr = lp_bc = None
             if self._batched_lpips is not None:
@@ -104,7 +114,7 @@ class Evaluator:
                     jnp.asarray(sr), jnp.asarray(batch["hr"])))
                 lp_bc = np.asarray(self._batched_lpips(
                     jnp.asarray(batch["bc"]), jnp.asarray(batch["hr"])))
-            for i in range(sr.shape[0]):
+            for i in range(n_valid):
                 path = batch["path"][i]
                 cls = class_of(path) if class_of else "all"
                 slot = per_class.setdefault(cls, {"sr": [], "bc": []})

@@ -347,19 +347,37 @@ class Trainer:
     def validate(self, max_batches: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg
         dataset = build_test_dataset(cfg.data, cfg.scale)
-        loader = DataLoader(dataset, cfg.data.test_batch_size, shuffle=False,
-                            drop_last=True, num_workers=cfg.data.num_workers)
+        bs = cfg.data.test_batch_size
+        loader = DataLoader(dataset, bs, shuffle=False, drop_last=False,
+                            num_workers=cfg.data.num_workers)
+        # The tail batch is padded up to the bucket size (ONE compiled shape
+        # per model — a fresh shape costs minutes of XLA compile here) and
+        # the padded rows are masked out of the averages.
+        valid_counts: list = []
+
+        def padded():
+            for batch in loader:
+                batch.pop("path", None)
+                n = batch["lr"].shape[0]
+                if n < bs:
+                    pad = bs - n
+                    batch = {k: np.concatenate(
+                        [v, np.repeat(v[-1:], pad, axis=0)])
+                        for k, v in batch.items()}
+                valid_counts.append(n)
+                yield batch
+
         sums: Dict[str, float] = {}
         count = 0
-        for i, batch in enumerate(device_prefetch(iter(loader), self.mesh)):
+        for i, batch in enumerate(device_prefetch(padded(), self.mesh)):
             if max_batches is not None and i >= max_batches:
                 break
-            batch.pop("path", None)
             out = self._jit_eval(self.state, batch)
+            n = valid_counts[i]
             for k, v in out.items():
-                arr = np.asarray(v)
+                arr = np.asarray(v)[:n]
                 sums[k] = sums.get(k, 0.0) + float(arr.sum())
-            count += int(np.asarray(out["psnr"]).size)
+            count += n
         return {k: v / max(count, 1) for k, v in sums.items()}
 
     # ------------------------------------------------------------------

@@ -1,0 +1,131 @@
+"""End-to-end weight-conversion proof (VERDICT r1 item 4).
+
+Round-trips RANDOMLY-initialized torch VGG19 / AlexNet trunks (torchvision
+state-dict layout) through tools/convert_torch.py and asserts our Flax
+trunks reproduce the torch features — so supplying real pretrained weights
+via SRADSGAN_TPU_VGG19_NPZ / SRADSGAN_TPU_ALEXNET_NPZ is a tested path, not
+a promise (reference trunk usage: model/srgan.py:44,
+utils/PerceptualSimilarity/pretrained_networks.py:12-40)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from sradsgan_tpu.tools import convert_torch  # noqa: E402
+
+rng = np.random.default_rng(11)
+
+
+def _torch_vgg19_features12():
+    """torchvision vgg19 ``features[:12]`` with random weights."""
+    m = torch.nn.Module()
+    m.features = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 64, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.Conv2d(64, 64, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.MaxPool2d(2, 2),
+        torch.nn.Conv2d(64, 128, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.Conv2d(128, 128, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.MaxPool2d(2, 2),
+        torch.nn.Conv2d(128, 256, 3, padding=1), torch.nn.ReLU(),
+    )
+    return m
+
+
+def _torch_alexnet_features():
+    """torchvision alexnet ``features`` trunk with random weights."""
+    m = torch.nn.Module()
+    m.features = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 64, 11, 4, 2), torch.nn.ReLU(),
+        torch.nn.MaxPool2d(3, 2),
+        torch.nn.Conv2d(64, 192, 5, padding=2), torch.nn.ReLU(),
+        torch.nn.MaxPool2d(3, 2),
+        torch.nn.Conv2d(192, 384, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.Conv2d(384, 256, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.Conv2d(256, 256, 3, padding=1), torch.nn.ReLU(),
+    )
+    return m
+
+
+def test_vgg19_conversion_feature_parity(tmp_path, monkeypatch):
+    from sradsgan_tpu.losses.vgg import VGG19Features, load_vgg19_params
+
+    m = _torch_vgg19_features12()
+    pth = str(tmp_path / "vgg19.pth")
+    npz = str(tmp_path / "vgg19.npz")
+    torch.save(m.state_dict(), pth)
+    assert convert_torch.main(["vgg19", pth, npz]) == 0
+
+    monkeypatch.setenv("SRADSGAN_TPU_VGG19_NPZ", npz)
+    variables = load_vgg19_params()
+    assert variables is not None
+
+    x = rng.random((2, 32, 32, 3)).astype(np.float32)
+    ours = np.asarray(VGG19Features().apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        ref = m.features(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(ours, ref.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_alexnet_conversion_feature_parity_and_lpips_calibration(
+        tmp_path, monkeypatch):
+    from sradsgan_tpu.losses import lpips as lpips_mod
+
+    m = _torch_alexnet_features()
+    pth = str(tmp_path / "alexnet.pth")
+    npz = str(tmp_path / "alexnet.npz")
+    torch.save(m.state_dict(), pth)
+    assert convert_torch.main(["alexnet", pth, npz]) == 0
+
+    # trunk parity: all five post-ReLU taps
+    data = np.load(npz)
+    model = lpips_mod.AlexNetFeatures()
+    x = rng.random((1, 64, 64, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = {f"conv{i}": {"kernel": jnp.asarray(data[f"conv{i}/kernel"]),
+                           "bias": jnp.asarray(data[f"conv{i}/bias"])}
+              for i in range(5)}
+    taps = model.apply({"params": params}, jnp.asarray(x))
+
+    with torch.no_grad():
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ref_taps = []
+        for layer in m.features:
+            t = layer(t)
+            if isinstance(layer, torch.nn.ReLU):
+                ref_taps.append(t.numpy().transpose(0, 2, 3, 1))
+    assert len(ref_taps) == len(taps) == 5
+    for i, (a, b) in enumerate(zip(taps, ref_taps)):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-5, rtol=1e-4,
+                                   err_msg=f"tap {i}")
+
+    # the env-var wiring flips LPIPS to calibrated mode
+    monkeypatch.setenv(lpips_mod.ALEXNET_WEIGHTS_ENV, npz)
+    lpips_mod._build_lpips.cache_clear()
+    try:
+        assert lpips_mod.lpips_is_calibrated()
+        fn = lpips_mod.lpips_fn()
+        a = rng.random((64, 64, 3)).astype(np.float32)
+        assert fn(a, a) == pytest.approx(0.0, abs=1e-6)
+        assert np.isfinite(fn(a, rng.random((64, 64, 3)).astype(np.float32)))
+    finally:
+        lpips_mod._build_lpips.cache_clear()
+
+
+def test_generator_pkl_conversion(tmp_path):
+    """A reference-style state-dict pickle converts with layout mapping."""
+    sd = {"conv.weight": torch.randn(8, 3, 3, 3),
+          "conv.bias": torch.randn(8),
+          "fc.weight": torch.randn(4, 8)}
+    pth = str(tmp_path / "generator_param.pkl")
+    npz = str(tmp_path / "gen.npz")
+    torch.save(sd, pth)
+    assert convert_torch.main(["generator", pth, npz]) == 0
+    out = np.load(npz)
+    assert out["conv.weight"].shape == (3, 3, 3, 8)   # OIHW -> HWIO
+    assert out["fc.weight"].shape == (8, 4)           # (o,i) -> (i,o)
+    np.testing.assert_allclose(out["conv.bias"], sd["conv.bias"].numpy())
