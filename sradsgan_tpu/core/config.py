@@ -83,6 +83,11 @@ class TrainConfig:
     init_from: Optional[str] = None
     # Mixed precision: bfloat16 activations, float32 params/updates.
     bf16: bool = True
+    # bfloat16 discriminator convs (BatchNorm always computes in f32
+    # internally — nn/norm.py).  Round-1's bf16-D divergence traced to the
+    # flax BN bf16 backward; with f32 norm internals the bf16 D passes the
+    # 600-step stability run (docs/PERF.md).
+    d_bf16: bool = False
     # Data-parallel mesh size (number of devices; -1 = all local devices).
     num_devices: int = -1
     # Extra generator constructor kwargs (e.g. smaller test networks).

@@ -31,7 +31,12 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 8,
-                 seed: int = 0, augment_rng: bool = False):
+                 seed: int = 0, augment_rng: bool = False,
+                 shard_index: int = 0, shard_count: int = 1):
+        """``shard_index``/``shard_count``: per-host input sharding for
+        multi-host meshes — every host shuffles with the SAME seed and takes
+        a disjoint stride of the order (defaults give the single-host
+        behavior; mirrors grain_pipeline's shard options)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -39,20 +44,29 @@ class DataLoader:
         self.num_workers = max(num_workers, 1)
         self.seed = seed
         self.augment_rng = augment_rng
+        self.shard_index = shard_index
+        self.shard_count = max(shard_count, 1)
         self._epoch = 0
 
-    def __len__(self) -> int:
+    def _shard_len(self) -> int:
         n = len(self.dataset)
+        return (n - self.shard_index + self.shard_count - 1) \
+            // self.shard_count
+
+    def __len__(self) -> int:
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self.dataset)
-        order = np.arange(n)
+        order = np.arange(len(self.dataset))
         rng = np.random.default_rng(self.seed + self._epoch)
         if self.shuffle:
             rng.shuffle(order)
+        if self.shard_count > 1:
+            order = order[self.shard_index::self.shard_count]
+        n = len(order)
         self._epoch += 1
 
         stop = n - (n % self.batch_size) if self.drop_last else n

@@ -65,8 +65,28 @@ class ChannelGate(nn.Module):
         return nn.sigmoid(out)[:, None, None, :] * x
 
 
+class _GateKernel(nn.Module):
+    """Bare conv-kernel param holder (named ``Conv_0`` for checkpoint
+    compatibility with the previous ``nn.Conv`` formulation)."""
+
+    kernel_size: int = 7
+    in_feats: int = 2
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", default_kernel_init,
+                          (self.kernel_size, self.kernel_size,
+                           self.in_feats, 1))
+
+
 class SpatialGate(nn.Module):
-    """sigmoid(conv7x7([mean_c; max_c])) * x, no bias."""
+    """sigmoid(conv7x7([mean_c; max_c])) * x, no bias.
+
+    The default Avg|Max mode runs through the fused TPU kernel
+    (ops/pallas/slam.py — one HBM pass instead of XLA's pathological
+    cross-lane-reduce + 2-channel-conv + multiply chain); gate math is
+    float32 on every backend.
+    """
 
     kernel_size: int = 7
     pool_mode: str = "Avg|Max"
@@ -74,6 +94,10 @@ class SpatialGate(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.pool_mode == "Avg|Max":
+            from sradsgan_tpu.ops.pallas.slam import fused_spatial_gate
+            kernel = _GateKernel(self.kernel_size, 2, name="Conv_0")()
+            return fused_spatial_gate(x, kernel)
         feats = []
         if "Avg" in self.pool_mode:
             feats.append(jnp.mean(x, axis=-1, keepdims=True))

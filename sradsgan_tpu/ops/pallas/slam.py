@@ -1,0 +1,323 @@
+"""Pallas TPU kernel: fused SLAM / CBAM spatial-attention gate.
+
+The zoo's spatial gates compute ``sigmoid(conv_kxk([mean_c(x); max_c(x)]))
+* x`` (reference model/sradsgan.py:129-151, base_networks.py:424).  The
+stock XLA lowering is pathological on TPU — a minor-axis (cross-lane)
+channel reduce into a 1-lane map, a k*k conv with 2 input channels padded
+to 128 lanes, and a broadcast multiply, each a separate HBM pass.  The
+flagship runs 49 of these per step.
+
+This kernel fuses the whole gate into ONE pass over x per direction:
+
+- forward: per batch element, read the (H, W, C) slice once, reduce both
+  channel stats in VMEM, run the k*k conv as an unrolled shift-and-add
+  stencil over zero-padded (H+2p, W+2p) scratch planes (f32, VPU), apply
+  sigmoid and the gated multiply, write out.
+- backward: one pass reading (x, dout) and writing dx; the stat planes are
+  recomputed in VMEM (max ties are recomputed and count-guarded — never
+  masked against a saved forward max, see bf16 lesson in pooling.py).  The
+  tiny conv-weight gradient is returned via byproducts (ds and the pooled
+  planes) and contracted outside the kernel by XLA.
+
+Semantics note: all gate math runs in float32 regardless of x's dtype
+(matches the reference's f32 torch conv more closely than the bf16 XLA
+path it replaces).  Non-TPU backends fall back to an equivalent jnp
+formulation so CPU tests exercise identical semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_TPU_PLATFORMS = ("tpu", "axon")
+_VMEM_LIMIT_BYTES = 24 * 1024 * 1024  # per-slice guard; fall back beyond
+
+
+def _is_tpu_backend() -> bool:
+    try:
+        return jax.default_backend() in _TPU_PLATFORMS
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Reference (jnp) path — also the non-TPU fallback and the dw contraction
+# ---------------------------------------------------------------------------
+
+def _pools(x32: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return jnp.mean(x32, axis=-1), jnp.max(x32, axis=-1)
+
+
+def _conv_taps(planes, w32):
+    """planes: list of (B, H, W) f32; w32: (k, k, n, 1) -> (B, H, W)."""
+    k = w32.shape[0]
+    pad = (k - 1) // 2
+    b, h, wdt = planes[0].shape
+    padded = [jnp.pad(p, ((0, 0), (pad, pad), (pad, pad))) for p in planes]
+    s = jnp.zeros((b, h, wdt), jnp.float32)
+    for dh in range(k):
+        for dw in range(k):
+            for ci, p in enumerate(padded):
+                s = s + w32[dh, dw, ci, 0] * p[:, dh:dh + h, dw:dw + wdt]
+    return s
+
+
+def _gate_reference(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mean, mx = _pools(x32)
+    s = _conv_taps([mean, mx], w.astype(jnp.float32))
+    return (jax.nn.sigmoid(s)[..., None] * x32).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(k: int, h: int, w: int, x_ref, w_ref, out_ref,
+                mean_s, max_s):
+    pad = (k - 1) // 2
+    x32 = x_ref[0].astype(jnp.float32)                    # (H, W, C)
+    mean_s[:] = jnp.zeros(mean_s.shape, jnp.float32)
+    max_s[:] = jnp.zeros(max_s.shape, jnp.float32)
+    mean_s[pad:pad + h, pad:pad + w] = jnp.mean(x32, axis=-1)
+    max_s[pad:pad + h, pad:pad + w] = jnp.max(x32, axis=-1)
+    s = jnp.zeros((h, w), jnp.float32)
+    for dh in range(k):
+        for dw in range(k):
+            s = s + (w_ref[dh, dw, 0] * mean_s[dh:dh + h, dw:dw + w]
+                     + w_ref[dh, dw, 1] * max_s[dh:dh + h, dw:dw + w])
+    gate = jax.nn.sigmoid(s)
+    out_ref[0] = (x32 * gate[..., None]).astype(out_ref.dtype)
+
+
+def _fwd_pallas(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, wdt, c = x.shape
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    w2 = w[..., 0].astype(jnp.float32)                    # (k, k, 2)
+    kernel = functools.partial(_fwd_kernel, k, h, wdt)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, wdt, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, wdt, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2 * pad, wdt + 2 * pad), jnp.float32),
+            pltpu.VMEM((h + 2 * pad, wdt + 2 * pad), jnp.float32),
+        ],
+    )(x, w2)
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward: dx in one fused pass; byproducts (ds, mean, max) for dw
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(k: int, h: int, w: int, x_ref, g_ref, w_ref,
+                dx_ref, ds_ref, mean_ref, max_ref, mean_s, max_s, ds_s):
+    pad = (k - 1) // 2
+    x32 = x_ref[0].astype(jnp.float32)
+    g32 = g_ref[0].astype(jnp.float32)
+    c = x32.shape[-1]
+
+    mean_s[:] = jnp.zeros(mean_s.shape, jnp.float32)
+    max_s[:] = jnp.zeros(max_s.shape, jnp.float32)
+    mean = jnp.mean(x32, axis=-1)
+    mx = jnp.max(x32, axis=-1)
+    mean_s[pad:pad + h, pad:pad + w] = mean
+    max_s[pad:pad + h, pad:pad + w] = mx
+
+    s = jnp.zeros((h, w), jnp.float32)
+    for dh in range(k):
+        for dw in range(k):
+            s = s + (w_ref[dh, dw, 0] * mean_s[dh:dh + h, dw:dw + w]
+                     + w_ref[dh, dw, 1] * max_s[dh:dh + h, dw:dw + w])
+    gate = jax.nn.sigmoid(s)
+
+    dgate = jnp.sum(g32 * x32, axis=-1)                  # (H, W)
+    ds = dgate * gate * (1.0 - gate)
+    ds_s[:] = jnp.zeros(ds_s.shape, jnp.float32)
+    ds_s[pad:pad + h, pad:pad + w] = ds
+
+    # transposed conv: dplane[h,w] = sum_taps w[dh,dw] * ds[h-dh+pad, ...]
+    dmean = jnp.zeros((h, w), jnp.float32)
+    dmax = jnp.zeros((h, w), jnp.float32)
+    for dh in range(k):
+        for dw in range(k):
+            shifted = ds_s[2 * pad - dh:2 * pad - dh + h,
+                           2 * pad - dw:2 * pad - dw + w]
+            dmean = dmean + w_ref[dh, dw, 0] * shifted
+            dmax = dmax + w_ref[dh, dw, 1] * shifted
+
+    is_max = (x32 == mx[..., None]).astype(jnp.float32)
+    ties = jnp.maximum(jnp.sum(is_max, axis=-1), 1.0)
+    dx = (g32 * gate[..., None]
+          + dmean[..., None] / c
+          + (dmax / ties)[..., None] * is_max)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    ds_ref[0] = ds
+    mean_ref[0] = mean
+    max_ref[0] = mx
+
+
+def _bwd_pallas(x: jnp.ndarray, g: jnp.ndarray, w: jnp.ndarray):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, wdt, c = x.shape
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    w2 = w[..., 0].astype(jnp.float32)
+    kernel = functools.partial(_bwd_kernel, k, h, wdt)
+    plane = jax.ShapeDtypeStruct((b, h, wdt), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, wdt, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, wdt, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, wdt, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, wdt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, wdt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, wdt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype), plane, plane,
+                   plane),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2 * pad, wdt + 2 * pad), jnp.float32),
+            pltpu.VMEM((h + 2 * pad, wdt + 2 * pad), jnp.float32),
+            pltpu.VMEM((h + 2 * pad, wdt + 2 * pad), jnp.float32),
+        ],
+    )(x, g, w2)
+
+
+def _pallas_ok(x: jnp.ndarray) -> bool:
+    b, h, w, c = x.shape
+    bytes_per_slice = h * w * max(c, 128) * 4
+    return (_is_tpu_backend() and h >= 8 and w >= 8
+            and bytes_per_slice < _VMEM_LIMIT_BYTES)
+
+
+# ---------------------------------------------------------------------------
+# Backward math (pure jnp) — also the source of truth for second-order AD
+# ---------------------------------------------------------------------------
+
+def _dw_contraction(ds, mean, mx, k, pad, h, wdt, wdtype):
+    """dw: tiny contraction over the pooled planes (XLA)."""
+    planes = jnp.stack([mean, mx], axis=-1)               # (B, H, W, 2)
+    pp = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    rows = []
+    for dh in range(k):
+        cols = []
+        for dw in range(k):
+            patch = pp[:, dh:dh + h, dw:dw + wdt, :]      # (B, H, W, 2)
+            cols.append(jnp.einsum("bhw,bhwc->c", ds, patch))
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)[..., None].astype(wdtype)      # (k, k, 2, 1)
+
+
+def _bwd_jnp(x, w, g):
+    """(dx, dw) of the gate in plain jnp (autodiff-able for 2nd order)."""
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    h, wdt = x.shape[1], x.shape[2]
+    x32 = x.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    c = x.shape[-1]
+    mean, mx = _pools(x32)
+    s = _conv_taps([mean, mx], w.astype(jnp.float32))
+    gate = jax.nn.sigmoid(s)
+    dgate = jnp.sum(g32 * x32, axis=-1)
+    ds = dgate * gate * (1.0 - gate)
+    dsp = jnp.pad(ds, ((0, 0), (pad, pad), (pad, pad)))
+    dmean = jnp.zeros_like(mean)
+    dmax = jnp.zeros_like(mx)
+    for dh in range(k):
+        for dw in range(k):
+            shifted = dsp[:, 2 * pad - dh:2 * pad - dh + h,
+                          2 * pad - dw:2 * pad - dw + wdt]
+            dmean = dmean + w[dh, dw, 0, 0].astype(jnp.float32) * shifted
+            dmax = dmax + w[dh, dw, 1, 0].astype(jnp.float32) * shifted
+    is_max = (x32 == mx[..., None]).astype(jnp.float32)
+    ties = jnp.maximum(jnp.sum(is_max, axis=-1), 1.0)
+    dx = (g32 * gate[..., None] + dmean[..., None] / c
+          + (dmax / ties)[..., None] * is_max).astype(x.dtype)
+    return dx, _dw_contraction(ds, mean, mx, k, pad, h, wdt, w.dtype)
+
+
+# The backward is ITSELF a custom-vjp op: first-order uses the fused Pallas
+# kernel; second-order (the WGAN-GP grad-of-grad through discriminators
+# that contain spatial gates, losses/gan.py) differentiates the equivalent
+# jnp backward with standard autodiff — Pallas kernels have no AD rules.
+@jax.custom_vjp
+def _gate_bwd(x, w, g):
+    if _pallas_ok(x):
+        dx, ds, mean, mx = _bwd_pallas(x, g, w)
+        k = w.shape[0]
+        pad = (k - 1) // 2
+        dw_ = _dw_contraction(ds, mean, mx, k, pad, x.shape[1], x.shape[2],
+                              w.dtype)
+        return dx, dw_
+    return _bwd_jnp(x, w, g)
+
+
+def _gate_bwd_fwd(x, w, g):
+    return _gate_bwd(x, w, g), (x, w, g)
+
+
+def _gate_bwd_bwd(res, cotangents):
+    x, w, g = res
+    _, vjp = jax.vjp(_bwd_jnp, x, w, g)
+    return vjp(cotangents)
+
+
+_gate_bwd.defvjp(_gate_bwd_fwd, _gate_bwd_bwd)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def fused_spatial_gate(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """sigmoid(conv_kxk([mean_c(x); max_c(x)], w)) * x, fused on TPU.
+
+    x: (B, H, W, C); w: (k, k, 2, 1) HWIO (``nn.Conv(1, (k, k))`` layout).
+    """
+    if _pallas_ok(x):
+        return _fwd_pallas(x, w)
+    return _gate_reference(x, w)
+
+
+def _vjp_fwd(x, w):
+    return fused_spatial_gate(x, w), (x, w)
+
+
+def _vjp_bwd(res, g):
+    x, w = res
+    return _gate_bwd(x, w, g)
+
+
+fused_spatial_gate.defvjp(_vjp_fwd, _vjp_bwd)

@@ -88,13 +88,14 @@ class Trainer:
         self.discriminator = None
         self.d_apply = None
         if self.spec.adversarial:
-            # The discriminator always computes in float32: WGAN weight
+            # The discriminator defaults to float32 convs: WGAN weight
             # clipping collapses its BatchNorm scales to +-clip_value and
-            # the bf16 backward through 7 re-normalizing layers overflows
-            # (measured: full-size bf16 GAN runs NaN within ~50 steps while
-            # f32 is stable; docs/VALIDATION.md).  D is ~1/3 of the step,
-            # so mixed G-bf16/D-f32 keeps most of the bf16 win.
-            self.discriminator = self.spec.discriminator(dtype=None)
+            # round 1's all-bf16 D went NaN within ~50 steps
+            # (docs/VALIDATION.md).  With nn/norm.py's BatchNorm the
+            # normalization chain is f32 regardless, so cfg.d_bf16 enables
+            # bf16 convs once a stability run has blessed the combination.
+            d_dtype = jnp.bfloat16 if cfg.d_bf16 else None
+            self.discriminator = self.spec.discriminator(dtype=d_dtype)
             self.d_apply = _apply_factory(self.discriminator)
 
         self.vgg = None

@@ -27,3 +27,80 @@ def test_fused_pool_grad_matches_reference():
     g1 = jax.grad(f(fused_avg_max_pool))(x)
     g2 = jax.grad(f(_avg_max_reference))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+
+def _conv_gate_reference(x, w):
+    """The original nn.Conv-style formulation (plain autodiff-able jnp)."""
+    s = jnp.concatenate([jnp.mean(x, axis=-1, keepdims=True),
+                         jnp.max(x, axis=-1, keepdims=True)], axis=-1)
+    s = jax.lax.conv_general_dilated(
+        s.astype(jnp.float32), w.astype(jnp.float32), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return jax.nn.sigmoid(s) * x.astype(jnp.float32)
+
+
+def test_fused_spatial_gate_matches_conv_formulation():
+    from sradsgan_tpu.ops.pallas.slam import fused_spatial_gate
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (2, 12, 12, 16))
+    w = jax.random.normal(jax.random.PRNGKey(1), (7, 7, 2, 1)) * 0.05
+    ours = np.asarray(fused_spatial_gate(x, w))
+    ref = np.asarray(_conv_gate_reference(x, w))
+    np.testing.assert_allclose(ours, ref, atol=2e-6)
+
+
+def test_fused_spatial_gate_grads_match_autodiff():
+    """The custom VJP (incl. tie-split max backward and the dw contraction)
+    must equal plain autodiff of the same math."""
+    from sradsgan_tpu.ops.pallas.slam import fused_spatial_gate
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 10, 10, 8))
+    # force max ties in some positions
+    x = x.at[:, :2, :2, :4].set(0.75)
+    w = jax.random.normal(jax.random.PRNGKey(3), (7, 7, 2, 1)) * 0.05
+
+    def loss_fused(x, w):
+        return jnp.sum(fused_spatial_gate(x, w).astype(jnp.float32) ** 2)
+
+    def loss_ref(x, w):
+        return jnp.sum(_conv_gate_reference(x, w) ** 2)
+
+    gx1, gw1 = jax.grad(loss_fused, argnums=(0, 1))(x, w)
+    gx2, gw2 = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=1e-4,
+                               rtol=1e-5)
+
+
+def test_spatial_gate_module_uses_fused_op_and_same_params():
+    """SpatialGate keeps the Conv_0/kernel param path after the fusion."""
+    from sradsgan_tpu.nn.attention import SpatialGate
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, 8, 8, 4))
+    gate = SpatialGate()
+    v = gate.init(jax.random.PRNGKey(5), x)
+    assert v["params"]["Conv_0"]["kernel"].shape == (7, 7, 2, 1)
+    out = gate.apply(v, x)
+    ref = _conv_gate_reference(x, v["params"]["Conv_0"]["kernel"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_fused_spatial_gate_second_order_matches_autodiff():
+    """WGAN-GP differentiates THROUGH the D's gate gradients (grad-of-grad,
+    losses/gan.py); the fused op's second-order rule must match plain
+    autodiff of the conv formulation."""
+    from sradsgan_tpu.ops.pallas.slam import fused_spatial_gate
+    x = jax.random.uniform(jax.random.PRNGKey(6), (2, 9, 9, 8))
+    w = jax.random.normal(jax.random.PRNGKey(7), (7, 7, 2, 1)) * 0.05
+
+    def gp_like(gate_fn):
+        def f(x, w):
+            g = jax.grad(lambda xi: jnp.sum(
+                gate_fn(xi, w).astype(jnp.float32)))(x)
+            norm = jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2, axis=-1)
+                            + 1e-12)
+            return jnp.mean((norm - 1.0) ** 2)
+        return f
+
+    gx1, gw1 = jax.grad(gp_like(fused_spatial_gate), argnums=(0, 1))(x, w)
+    gx2, gw2 = jax.grad(gp_like(_conv_gate_reference), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=2e-5)
