@@ -168,12 +168,52 @@ def unpatch(saved):
         setattr(cls, attr, orig)
 
 
+def run_full_nogp(tag):
+    """Full trainer step with the gradient penalty stubbed out (isolates
+    the train-mode grad-of-grad cost)."""
+    import jax.numpy as jnp
+
+    import sradsgan_tpu.train.trainer as trainer_mod
+    orig = trainer_mod.gradient_penalty
+
+    def stub(d_fn, real, fake, rng, with_stats=False, **kw):
+        if with_stats:
+            return jnp.float32(0.0), d_fn(real)[1]
+        return jnp.float32(0.0)
+
+    trainer_mod.gradient_penalty = stub
+    try:
+        run_full(tag)
+    finally:
+        trainer_mod.gradient_penalty = orig
+
+
+def run_full_novgg(tag):
+    import jax
+    from sradsgan_tpu.core.config import config_for_model
+    from sradsgan_tpu.train.trainer import Trainer
+    cfg = config_for_model("sradsgan", 4)
+    cfg.data.synthetic = True
+    cfg.gan.weight_content = 0.0
+    cfg.save_dir = "/tmp/sradsgan_profile"
+    trainer = Trainer(cfg)
+    batch = build_batch(trainer.mesh)
+    key = jax.random.PRNGKey(0)
+
+    def step(state, batch):
+        return trainer._jit_step(state, batch, key)
+
+    report(tag, timeit_step(step, trainer.state, batch))
+
+
 VARIANTS = {
     "full": run_full,
     "g_pixel": run_g_pixel,
     "g_fwd": run_g_fwd,
     "d_only": run_d_only,
     "vgg_only": run_vgg_only,
+    "full_nogp": run_full_nogp,
+    "full_novgg": run_full_novgg,
 }
 
 ABLATIONS = {

@@ -340,6 +340,8 @@ class Trainer:
             "ergas": batched_ergas(sr, batch["hr"], self.cfg.scale),
             "bc_psnr": batched_psnr(batch["bc"], batch["hr"]),
             "bc_ssim": batched_ssim(batch["bc"], batch["hr"]),
+            # first SR of the batch, for TB image summaries (not averaged)
+            "sr0": sr[:1],
         }
 
     # ------------------------------------------------------------------
@@ -376,6 +378,8 @@ class Trainer:
             out = self._jit_eval(self.state, batch)
             n = valid_counts[i]
             for k, v in out.items():
+                if k == "sr0":
+                    continue
                 arr = np.asarray(v)[:n]
                 sums[k] = sums.get(k, 0.0) + float(arr.sum())
             count += n
@@ -436,16 +440,32 @@ class Trainer:
                 if (cfg.sample_interval
                         and step_count % cfg.sample_interval == 0):
                     # in-training sample metrics vs the bicubic twin
-                    # (reference sradsgan.py:911-969)
-                    q = self._jit_eval(self.state, batch)
+                    # (reference sradsgan.py:911-969) + TB image summary
+                    # (reference utils/logger.py:64-87)
+                    q = dict(self._jit_eval(self.state, batch))
+                    sr0 = np.asarray(q.pop("sr0"))[0]
                     self.logger.print_format_results(
                         "train", {"epoch": epoch, "step": step_count,
                                   **{k: float(np.mean(np.asarray(v)))
                                      for k, v in q.items()}})
+                    self.logger.image_summary(
+                        "sample/sr_hr_bicubic",
+                        [sr0, np.asarray(batch["hr"])[0],
+                         np.asarray(batch["bc"])[0]], step_count)
                 if num_steps is not None and step_count >= num_steps:
                     return {k: float(v) for k, v in metrics.items()}
 
             # epoch end: validate + plateau logic (sradsgan.py:979-1036)
+            # + parameter histograms (reference utils/logger.py:89-115)
+            flat = np.concatenate(
+                [np.asarray(x).ravel()[:2048]
+                 for x in jax.tree.leaves(self.state.g_params)])
+            self.logger.histo_summary("g_params", flat, step_count)
+            if self.state.d_params is not None:
+                flat_d = np.concatenate(
+                    [np.asarray(x).ravel()[:2048]
+                     for x in jax.tree.leaves(self.state.d_params)])
+                self.logger.histo_summary("d_params", flat_d, step_count)
             val = self.validate(max_batches=32)
             last_metrics = val
             self.logger.print_format_results("val", {"epoch": epoch, **val})

@@ -53,6 +53,31 @@ class Logger:
         if self.writer is not None:
             self.writer.add_scalar(tag, value, step)
 
+    def image_summary(self, tag: str, images01, step: int) -> None:
+        """TensorBoard image grid (reference utils/logger.py:64-87).
+
+        ``images01``: iterable of HWC float arrays in [0, 1].
+        """
+        if self.writer is None:
+            return
+        import numpy as np
+        for i, img in enumerate(images01):
+            arr = (np.clip(np.asarray(img, np.float32), 0, 1)
+                   * 255).astype(np.uint8)
+            self.writer.add_image(f"{tag}/{i}", arr.transpose(2, 0, 1), step)
+
+    def histo_summary(self, tag: str, values, step: int,
+                      max_values: int = 100_000) -> None:
+        """TensorBoard histogram (reference utils/logger.py:89-115);
+        large value sets are subsampled to bound the event-file size."""
+        if self.writer is None:
+            return
+        import numpy as np
+        vals = np.asarray(values).ravel()
+        if vals.size > max_values:
+            vals = vals[:: vals.size // max_values + 1]
+        self.writer.add_histogram(tag, vals, step)
+
     def print_format_results(self, mode: str,
                              results: Dict[str, object]) -> None:
         """One formatted line per event (reference utils/logger.py:117-147)."""

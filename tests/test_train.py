@@ -45,6 +45,7 @@ def test_edsr_pixel_training_reduces_loss():
 
 def test_gan_training_step_runs_and_validates():
     cfg = _tiny_cfg("srgan", base_filters=8, num_residuals=1)
+    cfg.sample_interval = 2  # exercise the TB image-summary sample path
     trainer = Trainer(cfg)
     out = trainer.train(num_steps=3)
     assert "loss_G" in out and "loss_D" in out
