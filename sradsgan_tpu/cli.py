@@ -187,38 +187,50 @@ def cmd_infer(args) -> int:
     return 0
 
 
-def cmd_diffusion_train(args) -> int:
+def _build_diffusion_trainer(args):
     from sradsgan_tpu.diffusion.trainer import DiffusionTrainer
 
     cfg = _build_cfg(args)
-    if args.gdp_config:
-        trainer = DiffusionTrainer.from_gdp_config(
+    unet_kwargs = (json.loads(args.unet_kwargs)
+                   if getattr(args, "unet_kwargs", None) else None)
+    if getattr(args, "gdp_config", None):
+        return DiffusionTrainer.from_gdp_config(
             args.gdp_config, cfg.data,
             save_dir=os.path.join(args.save_dir, "GDP"),
-            bf16=not args.no_bf16)
-    else:
-        trainer = DiffusionTrainer(cfg.data, args.scale,
-                                   save_dir=os.path.join(args.save_dir,
-                                                         "GDP"),
-                                   n_timestep=args.timesteps,
-                                   bf16=not args.no_bf16)
+            bf16=not args.no_bf16,
+            **({"unet_kwargs": unet_kwargs} if unet_kwargs else {}))
+    return DiffusionTrainer(cfg.data, args.scale,
+                            save_dir=os.path.join(args.save_dir, "GDP"),
+                            n_timestep=args.timesteps,
+                            unet_kwargs=unet_kwargs,
+                            bf16=not args.no_bf16)
+
+
+def cmd_diffusion_train(args) -> int:
+    trainer = _build_diffusion_trainer(args)
     loss = trainer.train(args.n_iter, val_freq=args.val_freq)
     path = trainer.save_checkpoint()
     print(json.dumps({"final_loss": loss, "ckpt": path}))
     return 0
 
 
+def cmd_diffusion_validate(args) -> int:
+    trainer = _build_diffusion_trainer(args)
+    if args.ckpt:
+        trainer.load_checkpoint(args.ckpt)
+    val = trainer.validate(max_images=args.max_images,
+                           result_dir=args.result_dir,
+                           continuous=args.continuous)
+    print(json.dumps({"result_dir": args.result_dir, **val}))
+    return 0
+
+
 def cmd_diffusion_sample(args) -> int:
     import numpy as np
     from PIL import Image
-    from sradsgan_tpu.diffusion.trainer import DiffusionTrainer
     from sradsgan_tpu.utils.plotting import save_image
 
-    cfg = _build_cfg(args)
-    trainer = DiffusionTrainer(cfg.data, args.scale,
-                               save_dir=os.path.join(args.save_dir, "GDP"),
-                               n_timestep=args.timesteps,
-                               bf16=not args.no_bf16)
+    trainer = _build_diffusion_trainer(args)
     if args.ckpt:
         trainer.load_checkpoint(args.ckpt)
     img = Image.open(args.image).convert("RGB")
@@ -311,6 +323,9 @@ def main(argv=None) -> int:
     p.add_argument("--gdp-config",
                    help="bundled or custom GDP JSON config name/path "
                         "(e.g. gdp_train_27_216)")
+    p.add_argument("--unet-kwargs", default=None,
+                   help='JSON UNet-constructor overrides, e.g. '
+                        '\'{"inner_channel": 32}\'')
     p.set_defaults(fn=cmd_diffusion_train)
 
     p = sub.add_parser("diffusion-sample",
@@ -319,8 +334,23 @@ def main(argv=None) -> int:
     p.add_argument("--image", required=True)
     p.add_argument("--ckpt")
     p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--unet-kwargs", default=None)
     p.add_argument("--out-dir", default="Result/GDP/samples")
     p.set_defaults(fn=cmd_diffusion_sample)
+
+    p = sub.add_parser("diffusion-validate",
+                       help="diffusion eval sweep with tif/panel dumps "
+                            "(reference sr_mfe.py -p val)")
+    _add_common(p)
+    p.add_argument("--ckpt")
+    p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--gdp-config")
+    p.add_argument("--unet-kwargs", default=None)
+    p.add_argument("--max-images", type=int, default=4)
+    p.add_argument("--result-dir", default="Result/GDP/val")
+    p.add_argument("--continuous", action="store_true",
+                   help="continuous sampling: save reverse-chain grids")
+    p.set_defaults(fn=cmd_diffusion_validate)
 
     p = sub.add_parser("export", help="AOT-export a model (StableHLO)")
     _add_common(p)

@@ -144,11 +144,18 @@ class DiffusionTrainer:
         (reference sr_mfe.py:275-403 val phase), [0,1], shape
         (n_snapshots+1, B, H, W, C)."""
         rng = rng if rng is not None else jax.random.PRNGKey(self.step)
-        cond = jnp.asarray(bc01, jnp.float32) * 2.0 - 1.0
+        mult = 2 ** (len(self.unet.channel_mults) - 1)
+        b, h, w, c = bc01.shape
+        ph = (mult - h % mult) % mult
+        pw = (mult - w % mult) % mult
+        padded = np.pad(bc01, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                        mode="reflect") if (ph or pw) else bc01
+        cond = jnp.asarray(padded, jnp.float32) * 2.0 - 1.0
         chain = p_sample_chain(self._apply, self.params, self.sched, cond,
                                rng, n_snapshots)
-        return np.asarray(jnp.clip((chain.astype(jnp.float32) + 1) * 0.5,
-                                   0, 1))
+        out = np.asarray(jnp.clip((chain.astype(jnp.float32) + 1) * 0.5,
+                                  0, 1))
+        return out[:, :, :h, :w, :]
 
     @classmethod
     def from_gdp_config(cls, path_or_name: str, data_cfg: DataConfig,
@@ -163,11 +170,17 @@ class DiffusionTrainer:
         return cls(data_cfg, save_dir=save_dir, **kwargs)
 
     def validate(self, max_images: int = 4,
-                 result_dir: Optional[str] = None) -> Dict[str, float]:
+                 result_dir: Optional[str] = None,
+                 continuous: bool = False,
+                 n_snapshots: int = 8) -> Dict[str, float]:
         """Full metric suite vs the bicubic twin (reference sr_mfe.py:124-261):
         MSE/PSNR/SSIM/ERGAS/LPIPS for both the sampled SR and the bicubic
-        baseline, plus per-image hr/sr/lr/inf ``.tif`` dumps when
-        ``result_dir`` is given (the reference's Metrics.save_img calls)."""
+        baseline, plus per-image hr/sr/lr/inf ``.tif`` dumps and an annotated
+        HR/LR/Bicubic/SR panel (``{step}_{idx}_plot.png``, the reference's
+        Metrics.plot_img call at sr_mfe.py:345-348) when ``result_dir`` is
+        given.  ``continuous=True`` is the reference's ``-p val`` continuous
+        sampling: the reverse-chain snapshots are saved as a
+        ``{step}_{idx}_sr_process.png`` grid (sr_mfe.py:305-319)."""
         from sradsgan_tpu.losses.lpips import lpips_fn, lpips_is_calibrated
         ds = build_test_dataset(self.data_cfg, self.scale)
         loader = DataLoader(ds, min(max_images, 4), shuffle=False,
@@ -179,7 +192,13 @@ class DiffusionTrainer:
         rows = []
         seen = 0
         for batch in loader:
-            sr = self.super_resolution(batch["bc"])
+            chain = None
+            if continuous:
+                chain = self.super_resolution_chain(batch["bc"],
+                                                    n_snapshots=n_snapshots)
+                sr = chain[-1]
+            else:
+                sr = self.super_resolution(batch["bc"])
             for i in range(sr.shape[0]):
                 if seen >= max_images:
                     break
@@ -187,7 +206,7 @@ class DiffusionTrainer:
                 sr_u8 = tensor_to_uint8(sr[i])
                 hr_u8 = tensor_to_uint8(batch["hr"][i])
                 bc_u8 = tensor_to_uint8(batch["bc"][i])
-                rows.append({
+                row = {
                     "mse": compare_mse(sr_u8, hr_u8),
                     "psnr": compare_psnr(sr_u8, hr_u8),
                     "ssim": compare_ssim(sr_u8, hr_u8),
@@ -198,15 +217,35 @@ class DiffusionTrainer:
                     "bc_ssim": compare_ssim(bc_u8, hr_u8),
                     "bc_ergas": compare_ergas(hr_u8, bc_u8, self.scale),
                     "bc_" + lpips_key: lpips(batch["bc"][i], batch["hr"][i]),
-                })
+                }
+                rows.append(row)
                 if result_dir:
                     import cv2
+                    from sradsgan_tpu.utils.plotting import (plot_chain_grid,
+                                                             plot_test_panel)
                     lr_u8 = tensor_to_uint8(batch["lr"][i])
                     for name, img in (("hr", hr_u8), ("sr", sr_u8),
                                       ("lr", lr_u8), ("inf", bc_u8)):
                         cv2.imwrite(os.path.join(
                             result_dir, f"{self.step}_{seen}_{name}.tif"),
                             img[..., ::-1])  # RGB -> cv2 BGR
+                    bc_m = {k: row["bc_" + k] for k in
+                            ("mse", "psnr", "ssim", "ergas")}
+                    sr_m = {k: row[k] for k in
+                            ("mse", "psnr", "ssim", "ergas")}
+                    plot_test_panel(
+                        [batch["hr"][i], batch["lr"][i], batch["bc"][i],
+                         sr[i]],
+                        ["HR", "LR", "Bicubic", "SR"],
+                        [None, None, bc_m, sr_m],
+                        os.path.join(result_dir,
+                                     f"{self.step}_{seen}_plot.png"))
+                    if chain is not None:
+                        plot_chain_grid(
+                            chain[:, i],
+                            os.path.join(
+                                result_dir,
+                                f"{self.step}_{seen}_sr_process.png"))
             if seen >= max_images:
                 break
         return {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}

@@ -47,6 +47,25 @@ def plot_test_panel(images: Sequence[np.ndarray], labels: Sequence[str],
     plt.close(fig)
 
 
+def plot_chain_grid(chain01: np.ndarray, path: str) -> None:
+    """Reverse-diffusion snapshot grid for one image (reference
+    sr_mfe.py:305-319 'grid' sr_img_mode, the ``_sr_process`` dump).
+
+    chain01: (n_snapshots, H, W, C) in [0, 1], noise -> clean order."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    n = chain01.shape[0]
+    fig, axes = plt.subplots(1, n, figsize=(2.2 * n, 2.5))
+    if n == 1:
+        axes = [axes]
+    for i, ax in enumerate(np.atleast_1d(axes)):
+        ax.imshow(np.clip(chain01[i], 0, 1))
+        ax.set_axis_off()
+        ax.set_title("final" if i == n - 1 else f"t{i}", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+
+
 def plot_curves(history: Dict[str, Sequence[float]], path: str) -> None:
     """Loss/metric training curves (utils/utils.py:55-86)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

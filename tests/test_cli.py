@@ -50,3 +50,22 @@ def test_cli_infer(tmp_path, capsys):
     assert rc == 0
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert os.path.exists(result["sr"])
+
+
+def test_cli_diffusion_validate(tmp_path, capsys):
+    """The reference's ``sr_mfe.py -p val`` surface: metric suite + dumps."""
+    rdir = str(tmp_path / "val")
+    rc = main(["diffusion-validate", "--scale", "2",
+               "--data", "synthetic", "--crop-size", "16",
+               "--batch-size", "2", "--timesteps", "4", "--no-bf16",
+               "--save-dir", str(tmp_path),
+               "--unet-kwargs",
+               '{"inner_channel": 32, "channel_mults": [1, 2],'
+               ' "res_blocks": 1}',
+               "--max-images", "1", "--result-dir", rdir, "--continuous"])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(result["psnr"])
+    files = os.listdir(rdir)
+    assert any(f.endswith("_sr_process.png") for f in files), files
+    assert any(f.endswith("_plot.png") for f in files), files

@@ -67,12 +67,31 @@ def test_diffusion_validate(tmp_path):
                 "bc_ssim", "bc_ergas"):
         assert np.isfinite(val[key]), (key, val)
     assert any(k.startswith("lpips") for k in val)       # lpips or lpips*
-    tifs = sorted(os.listdir(result_dir))
+    files = sorted(os.listdir(result_dir))
+    tifs = [t for t in files if t.endswith(".tif")]
     # 2 images x {hr, sr, lr, inf}
-    assert len(tifs) == 8 and all(t.endswith(".tif") for t in tifs), tifs
+    assert len(tifs) == 8, files
+    # annotated HR/LR/Bicubic/SR panel per image (reference plot_img,
+    # sr_mfe.py:345-348)
+    panels = [t for t in files if t.endswith("_plot.png")]
+    assert len(panels) == 2, files
     import cv2
     img = cv2.imread(os.path.join(result_dir, tifs[0]))
     assert img is not None and img.ndim == 3
+
+
+def test_diffusion_validate_continuous(tmp_path):
+    """Continuous sampling saves the reverse-chain process grid
+    (reference sr_mfe.py:305-319 'grid' mode)."""
+    import os
+
+    trainer = _tiny_trainer(tmp_path)
+    result_dir = str(tmp_path / "val_cont")
+    val = trainer.validate(max_images=1, result_dir=result_dir,
+                           continuous=True, n_snapshots=3)
+    assert np.isfinite(val["psnr"])
+    files = sorted(os.listdir(result_dir))
+    assert any(f.endswith("_sr_process.png") for f in files), files
 
 
 def test_diffusion_resume_restores_optimizer(tmp_path):
