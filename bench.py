@@ -53,14 +53,20 @@ def main():
         state, metrics = trainer._jit_step(state, batch, k)
     jax.block_until_ready(metrics["loss_G"])
 
-    steps = 10
+    steps = 30
     t0 = time.perf_counter()
     for _ in range(steps):
         key, k = jax.random.split(key)
         state, metrics = trainer._jit_step(state, batch, k)
-    jax.block_until_ready(metrics["loss_G"])
-    dt = time.perf_counter() - t0
+    # Host-fetch the last step's losses INSIDE the timed region: through
+    # this environment's remote-device relay, block_until_ready can return
+    # before execution finishes (scripts/timing_probe.py measured a matmul
+    # chain at an impossible 44 PFLOP/s with block-only timing); a
+    # device->host value transfer is the only hard synchronization.  The
+    # steps chain through the donated train state, so fetching the final
+    # metrics bounds the whole sequence.
     final = {k: float(v) for k, v in metrics.items()}
+    dt = time.perf_counter() - t0
     assert all(np.isfinite(v) for v in final.values()), (
         f"non-finite training metrics in benchmark: {final}")
 

@@ -33,15 +33,24 @@ def build_trainer():
     return Trainer(cfg)
 
 
-def timeit_step(step_fn, state, batch, extra=(), steps=10, warmup=2):
+def _fetch(out):
+    """Hard sync: device->host copy of one value.  Through this
+    environment's remote-device relay, block_until_ready can return before
+    execution finishes (scripts/timing_probe.py) — a host fetch cannot."""
     import jax
+    import jax.numpy as jnp
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def timeit_step(step_fn, state, batch, extra=(), steps=30, warmup=2):
     for _ in range(warmup):
         state, out = step_fn(state, batch, *extra)
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
     for _ in range(steps):
         state, out = step_fn(state, batch, *extra)
-    jax.block_until_ready(out)
+    _fetch(out)
     return (time.perf_counter() - t0) / steps
 
 

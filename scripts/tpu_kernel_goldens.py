@@ -9,6 +9,9 @@ multi-minute train-step compile.
 """
 
 import json
+import os
+
+os.environ["SRADSGAN_TPU_SLAM_IMPL"] = "pallas"  # engage the kernels
 
 import numpy as np
 

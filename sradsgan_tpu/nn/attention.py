@@ -82,10 +82,10 @@ class _GateKernel(nn.Module):
 class SpatialGate(nn.Module):
     """sigmoid(conv7x7([mean_c; max_c])) * x, no bias.
 
-    The default Avg|Max mode runs through the fused TPU kernel
-    (ops/pallas/slam.py — one HBM pass instead of XLA's pathological
-    cross-lane-reduce + 2-channel-conv + multiply chain); gate math is
-    float32 on every backend.
+    Dispatches to ops/spatial_gate.py, which selects among four
+    mathematically-equivalent formulations via SRADSGAN_TPU_SLAM_IMPL
+    (default: the measured-fastest ``taps`` stencil; a fused Pallas kernel
+    is available as ``pallas``).  Gate math is float32 on every backend.
     """
 
     kernel_size: int = 7
@@ -94,20 +94,10 @@ class SpatialGate(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.pool_mode == "Avg|Max":
-            from sradsgan_tpu.ops.pallas.slam import fused_spatial_gate
-            kernel = _GateKernel(self.kernel_size, 2, name="Conv_0")()
-            return fused_spatial_gate(x, kernel)
-        feats = []
-        if "Avg" in self.pool_mode:
-            feats.append(jnp.mean(x, axis=-1, keepdims=True))
-        if "Max" in self.pool_mode:
-            feats.append(jnp.max(x, axis=-1, keepdims=True))
-        s = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
-        s = nn.Conv(1, (self.kernel_size, self.kernel_size), padding="SAME",
-                    use_bias=False, kernel_init=default_kernel_init,
-                    dtype=self.dtype)(s)
-        return nn.sigmoid(s) * x
+        from sradsgan_tpu.ops.spatial_gate import spatial_gate_apply
+        n_stats = ("Avg" in self.pool_mode) + ("Max" in self.pool_mode)
+        kernel = _GateKernel(self.kernel_size, n_stats, name="Conv_0")()
+        return spatial_gate_apply(x, kernel, pool_mode=self.pool_mode)
 
 
 class SpatialSelfAttention(nn.Module):
@@ -130,10 +120,25 @@ class SpatialSelfAttention(nn.Module):
                     dtype=self.dtype)(x).reshape(b, h * w, inner)
         v = nn.Conv(c, (1, 1), kernel_init=default_kernel_init,
                     dtype=self.dtype)(x).reshape(b, h * w, c)
-        # softmax in f32 regardless of compute dtype (bf16-safe)
-        energy = jnp.einsum("bqd,bkd->bqk", q, k,
-                            preferred_element_type=jnp.float32)
-        attn = nn.softmax(energy.astype(jnp.float32), axis=-1).astype(v.dtype)
+        import os
+        if (x.dtype == jnp.bfloat16
+                and os.environ.get("SRADSGAN_TPU_SGAM_F32", "") != "1"):
+            # The (B, HW, HW) energy is the op's HBM cost (544 MB in f32 at
+            # 54^2 x batch 16).  The QK contraction depth is only C//8, so
+            # bf16 accumulation is safe; materialize energy/attn in bf16
+            # and keep only the row statistics (max, sum) in f32.
+            energy = jnp.einsum("bqd,bkd->bqk", q, k,
+                                preferred_element_type=jnp.bfloat16)
+            m = jnp.max(energy, axis=-1, keepdims=True).astype(jnp.float32)
+            p = jnp.exp(energy.astype(jnp.float32) - m)
+            s = jnp.sum(p, axis=-1, keepdims=True)
+            attn = (p / s).astype(jnp.bfloat16)
+        else:
+            # exact f32 softmax (the torch-parity formulation)
+            energy = jnp.einsum("bqd,bkd->bqk", q, k,
+                                preferred_element_type=jnp.float32)
+            attn = nn.softmax(energy.astype(jnp.float32),
+                              axis=-1).astype(v.dtype)
         out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
         gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
         return gamma.astype(x.dtype) * out + x

@@ -78,6 +78,9 @@ def fused_avg_max_pool(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     with sub-128 channel tails here, and for bf16 the XLA two-pass read
     moves fewer bytes than an f32 upcast would anyway.
     """
+    import os
+    if os.environ.get("SRADSGAN_TPU_NO_FUSED_POOL", "") == "1":
+        return _avg_max_reference(x)  # measurement / escape hatch
     if _is_tpu_backend() and x.dtype == jnp.float32:
         return _avg_max_pallas(x)
     return _avg_max_reference(x)

@@ -213,11 +213,32 @@ def _bwd_pallas(x: jnp.ndarray, g: jnp.ndarray, w: jnp.ndarray):
     )(x, g, w2)
 
 
+def _impl() -> str:
+    import os
+    return os.environ.get("SRADSGAN_TPU_SLAM_IMPL", "conv")
+
+
 def _pallas_ok(x: jnp.ndarray) -> bool:
+    # The Pallas kernels are opt-in (SRADSGAN_TPU_SLAM_IMPL=pallas):
+    # measured 62.0 ms g_pixel vs 57.1 for the jnp taps forward + the
+    # hand-written jnp backward below (scripts/timing_probe.py).
+    if _impl() != "pallas":
+        return False
     b, h, w, c = x.shape
     bytes_per_slice = h * w * max(c, 128) * 4
     return (_is_tpu_backend() and h >= 8 and w >= 8
             and bytes_per_slice < _VMEM_LIMIT_BYTES)
+
+
+def _gate_conv_reference(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Forward via lax.conv over the stacked stat planes (NHWC)."""
+    x32 = x.astype(jnp.float32)
+    mean, mx = _pools(x32)
+    stack = jnp.stack([mean, mx], axis=-1)
+    s = jax.lax.conv_general_dilated(
+        stack, w.astype(jnp.float32), window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
+    return (jax.nn.sigmoid(s)[..., None] * x32).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -302,12 +323,18 @@ _gate_bwd.defvjp(_gate_bwd_fwd, _gate_bwd_bwd)
 
 @jax.custom_vjp
 def fused_spatial_gate(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """sigmoid(conv_kxk([mean_c(x); max_c(x)], w)) * x, fused on TPU.
+    """sigmoid(conv_kxk([mean_c(x); max_c(x)], w)) * x with a hand-written
+    backward (the measured-fastest configuration; autodiff through the
+    forward costs ~17 ms/step more across the flagship's 49 instances).
 
     x: (B, H, W, C); w: (k, k, 2, 1) HWIO (``nn.Conv(1, (k, k))`` layout).
+    Forward impl selected by SRADSGAN_TPU_SLAM_IMPL: taps (default) /
+    conv / pallas.
     """
     if _pallas_ok(x):
         return _fwd_pallas(x, w)
+    if _impl() == "conv":
+        return _gate_conv_reference(x, w)
     return _gate_reference(x, w)
 
 
