@@ -31,7 +31,7 @@ def main():
     t0 = time.perf_counter()
     params, opt, loss = trainer._jit_train(trainer.params, trainer.opt_state,
                                            batch, key)
-    jax.block_until_ready(loss)
+    float(loss)  # host fetch = hard sync
     print(json.dumps({"gdp_train_compile_s":
                       round(time.perf_counter() - t0, 1)}), flush=True)
 
@@ -40,9 +40,11 @@ def main():
     for _ in range(steps):
         key, k = jax.random.split(key)
         params, opt, loss = trainer._jit_train(params, opt, batch, k)
-    jax.block_until_ready(loss)
+    # host fetch closes the timed region (block_until_ready is unreliable
+    # through the remote relay — docs/VALIDATION.md round-2 finding)
+    final = float(loss)
     dt = (time.perf_counter() - t0) / steps
-    assert np.isfinite(float(loss)), float(loss)
+    assert np.isfinite(final), final
     print(json.dumps({"gdp_train_ms_per_step": round(dt * 1e3, 2),
                       "gdp_train_it_per_s": round(1 / dt, 2),
                       "loss": float(loss)}), flush=True)

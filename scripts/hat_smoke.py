@@ -31,7 +31,7 @@ def main(steps: int = 200):
 
     t0 = time.perf_counter()
     state, metrics = trainer._jit_step(trainer.state, batch, key)
-    jax.block_until_ready(metrics["loss_G"])
+    float(metrics["loss_G"])  # host fetch = hard sync (block is unreliable)
     compile_s = time.perf_counter() - t0
     print(json.dumps({"hat_compile_s": round(compile_s, 1)}), flush=True)
 

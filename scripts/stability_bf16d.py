@@ -34,7 +34,7 @@ def run(d_bf16: bool, steps: int = 600):
     # warmup/compile
     key, k = jax.random.split(key)
     state, metrics = trainer._jit_step(state, batches[0], k)
-    jax.block_until_ready(metrics["loss_G"])
+    float(metrics["loss_G"])  # host fetch = hard sync
     t0 = time.perf_counter()
     for i in range(steps):
         key, k = jax.random.split(key)
@@ -47,7 +47,7 @@ def run(d_bf16: bool, steps: int = 600):
                   flush=True)
             if not ok:
                 return None
-    jax.block_until_ready(metrics["loss_G"])
+    float(metrics["loss_G"])  # host fetch = hard sync
     dt = (time.perf_counter() - t0) / steps
     mps = 16 * 216 * 216 / 1e6 / dt
     print(json.dumps({"d_bf16": d_bf16, "ms_per_step": round(dt * 1e3, 2),
