@@ -104,3 +104,32 @@ def test_fused_spatial_gate_second_order_matches_autodiff():
     gx2, gw2 = jax.grad(gp_like(_conv_gate_reference), argnums=(0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=2e-5)
     np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=2e-5)
+
+
+def test_slam_impl_dispatch_equivalence(monkeypatch):
+    """Every SRADSGAN_TPU_SLAM_IMPL formulation computes the same gate
+    (values to fp tolerance, gradients through the custom VJP)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sradsgan_tpu.ops.spatial_gate import spatial_gate_apply
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((7, 7, 2, 1)) * 0.2, jnp.float32)
+
+    def run(impl):
+        monkeypatch.setenv("SRADSGAN_TPU_SLAM_IMPL", impl)
+
+        def loss(x, w):
+            return jnp.sum(spatial_gate_apply(x, w) ** 2)
+
+        out = spatial_gate_apply(x, w)
+        gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+        return np.asarray(out), np.asarray(gx), np.asarray(gw)
+
+    ref = run("autodiff-taps")
+    for impl in ("taps", "conv", "pallas"):  # pallas falls back off-TPU
+        got = run(impl)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(g, r, atol=2e-4, rtol=2e-4)
