@@ -269,6 +269,78 @@ class TripletFolderDataset:
                 "path": self.hr_files[index]}
 
 
+class LMDBTripletDataset:
+    """GDP lmdb-mode LRHR triplets (GDP_x0/data/LRHR_dataset.py:18-95).
+
+    Key schema (reference :22-24, :62-76): ``b"length"`` -> count;
+    ``hr_{r}_{i:05d}``, ``sr_{l}_{r}_{i:05d}``, ``lr_{l}_{i:05d}`` ->
+    encoded image bytes; missing indices are skipped by redrawing a random
+    index (reference :78-95).  The lmdb library is optional in this image:
+    pass ``env`` (any object with lmdb's ``begin()`` transaction interface
+    — tests use a dict-backed fake) or a path, which is opened with the
+    real lmdb behind an import guard.
+    """
+
+    def __init__(self, root_or_env, lr_size: int, hr_size: int,
+                 data_len: int = -1, need_lr: bool = True,
+                 hflip: bool = False):
+        if isinstance(root_or_env, (str, os.PathLike)):
+            try:
+                import lmdb
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "lmdb-mode GDP datasets need the 'lmdb' package "
+                    "(not bundled in this image); use the folder layout "
+                    "(TripletFolderDataset) or pass a compatible env"
+                ) from e
+            self.env = lmdb.open(str(root_or_env), readonly=True,
+                                 lock=False, readahead=False, meminit=False)
+        else:
+            self.env = root_or_env
+        self.lr_size, self.hr_size = lr_size, hr_size
+        self.need_lr = need_lr
+        self.hflip = hflip
+        with self.env.begin(write=False) as txn:
+            self.dataset_len = int(txn.get(b"length"))
+        self.data_len = (self.dataset_len if data_len <= 0
+                         else min(data_len, self.dataset_len))
+
+    def __len__(self) -> int:
+        return self.data_len
+
+    @staticmethod
+    def _decode(raw: bytes) -> np.ndarray:
+        import io
+        img = Image.open(io.BytesIO(raw)).convert("RGB")
+        return np.asarray(img, np.float32) / 255.0
+
+    def load(self, index: int, rng: Optional[np.random.Generator] = None):
+        redraw = rng if rng is not None else np.random.default_rng(index)
+        with self.env.begin(write=False) as txn:
+            def fetch(i):
+                tag = str(i).zfill(5)
+                hr = txn.get(f"hr_{self.hr_size}_{tag}".encode())
+                sr = txn.get(
+                    f"sr_{self.lr_size}_{self.hr_size}_{tag}".encode())
+                lr = (txn.get(f"lr_{self.lr_size}_{tag}".encode())
+                      if self.need_lr else None)
+                return hr, sr, lr
+
+            hr, sr, lr = fetch(index)
+            while hr is None or sr is None:  # invalid-index skip (ref :78)
+                index = int(redraw.integers(0, self.data_len))
+                hr, sr, lr = fetch(index)
+        out = {"hr": self._decode(hr), "bc": self._decode(sr),
+               "path": f"lmdb:{index:05d}"}
+        out["lr"] = (self._decode(lr) if lr is not None
+                     else out["bc"][::self.hr_size // self.lr_size,
+                                    ::self.hr_size // self.lr_size])
+        if self.hflip and rng is not None and rng.integers(0, 2):
+            for k in ("lr", "hr", "bc"):
+                out[k] = np.ascontiguousarray(out[k][:, ::-1])
+        return out
+
+
 def build_train_dataset(cfg, scale: int):
     """Reference get_RGB_trainDataset (data/data.py:295-315): one dir per
     class of AID/DOTA/LoveDA/RSSCN7_2800 plus the SECOND root."""
