@@ -105,6 +105,12 @@ class Trainer:
             loaded = load_vgg19_params()
             if loaded is not None:
                 self.vgg_params = loaded["params"]
+            else:
+                print("note: VGG19 pretrained weights not provided "
+                      "(SRADSGAN_TPU_VGG19_NPZ); the content loss uses "
+                      "fixed-seed random features — training works, but "
+                      "content-loss values are not reference-comparable "
+                      "(losses/vgg.py)")
 
         self.mesh = create_mesh(cfg.num_devices)
         self.logger = Logger(cfg.model, os.path.join(cfg.model_dir, "logs"))
