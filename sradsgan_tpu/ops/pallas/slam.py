@@ -317,6 +317,57 @@ def _gate_bwd_bwd(res, cotangents):
 _gate_bwd.defvjp(_gate_bwd_fwd, _gate_bwd_bwd)
 
 
+# Saved-residual first-order backward: the forward stashes the (tiny) stat
+# planes and gate — 3 x (B, H, W) f32 — so dx/dw skip the channel-reduce
+# and conv recompute (measured: SLAM backward dominates the gate's 17 ms
+# share of g_pixel).  Second-order AD (the GP grad-of-grad) still flows
+# through the full RECOMPUTING ``_bwd_jnp`` via this op's own custom VJP,
+# which also returns zero cotangents for the saved-plane slots: the true
+# x/w dependence of the stats is already captured by differentiating the
+# recomputing formula, and custom_vjp residuals are constants to outer AD.
+@jax.custom_vjp
+def _gate_bwd_saved(x, w, g, gate, mean, mx):
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    h, wdt = x.shape[1], x.shape[2]
+    c = x.shape[-1]
+    x32 = x.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    dgate = jnp.sum(g32 * x32, axis=-1)
+    ds = dgate * gate * (1.0 - gate)
+    dsp = jnp.pad(ds, ((0, 0), (pad, pad), (pad, pad)))
+    dmean = jnp.zeros_like(mean)
+    dmax = jnp.zeros_like(mx)
+    for dh in range(k):
+        for dw in range(k):
+            shifted = dsp[:, 2 * pad - dh:2 * pad - dh + h,
+                          2 * pad - dw:2 * pad - dw + wdt]
+            dmean = dmean + w[dh, dw, 0, 0].astype(jnp.float32) * shifted
+            dmax = dmax + w[dh, dw, 1, 0].astype(jnp.float32) * shifted
+    is_max = (x32 == mx[..., None]).astype(jnp.float32)
+    ties = jnp.maximum(jnp.sum(is_max, axis=-1), 1.0)
+    dx = (g32 * gate[..., None] + dmean[..., None] / c
+          + (dmax / ties)[..., None] * is_max).astype(x.dtype)
+    # dw via the k*k einsum contraction — a single conv-as-wgrad (batch as
+    # the contraction dim) measured 7.9 ms/step SLOWER (60.9 vs 53.0)
+    return dx, _dw_contraction(ds, mean, mx, k, pad, h, wdt, w.dtype)
+
+
+def _gate_bwd_saved_fwd(x, w, g, gate, mean, mx):
+    return _gate_bwd_saved(x, w, g, gate, mean, mx), (x, w, g)
+
+
+def _gate_bwd_saved_bwd(res, cotangents):
+    x, w, g = res
+    _, vjp = jax.vjp(_bwd_jnp, x, w, g)
+    dx_, dw_, dg_ = vjp(cotangents)
+    zero_plane = jnp.zeros(x.shape[:3], jnp.float32)
+    return dx_, dw_, dg_, zero_plane, zero_plane, zero_plane
+
+
+_gate_bwd_saved.defvjp(_gate_bwd_saved_fwd, _gate_bwd_saved_bwd)
+
+
 # ---------------------------------------------------------------------------
 # custom-VJP wrapper
 # ---------------------------------------------------------------------------
@@ -338,13 +389,36 @@ def fused_spatial_gate(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return _gate_reference(x, w)
 
 
+def _fwd_with_stats(x, w):
+    """Forward that also returns the stat planes + gate for the
+    saved-residual backward."""
+    x32 = x.astype(jnp.float32)
+    mean, mx = _pools(x32)
+    w32 = w.astype(jnp.float32)
+    if _impl() == "conv":
+        stack = jnp.stack([mean, mx], axis=-1)
+        s = jax.lax.conv_general_dilated(
+            stack, w32, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
+    else:
+        s = _conv_taps([mean, mx], w32)
+    gate = jax.nn.sigmoid(s)
+    out = (gate[..., None] * x32).astype(x.dtype)
+    return out, gate, mean, mx
+
+
 def _vjp_fwd(x, w):
-    return fused_spatial_gate(x, w), (x, w)
+    if _pallas_ok(x):
+        return _fwd_pallas(x, w), (x, w, None, None, None)
+    out, gate, mean, mx = _fwd_with_stats(x, w)
+    return out, (x, w, gate, mean, mx)
 
 
 def _vjp_bwd(res, g):
-    x, w = res
-    return _gate_bwd(x, w, g)
+    x, w, gate, mean, mx = res
+    if gate is None:  # Pallas path: fused recomputing backward
+        return _gate_bwd(x, w, g)
+    return _gate_bwd_saved(x, w, g, gate, mean, mx)
 
 
 fused_spatial_gate.defvjp(_vjp_fwd, _vjp_bwd)
