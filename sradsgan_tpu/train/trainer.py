@@ -106,11 +106,12 @@ class Trainer:
             if loaded is not None:
                 self.vgg_params = loaded["params"]
             else:
+                import sys
                 print("note: VGG19 pretrained weights not provided "
                       "(SRADSGAN_TPU_VGG19_NPZ); the content loss uses "
                       "fixed-seed random features — training works, but "
                       "content-loss values are not reference-comparable "
-                      "(losses/vgg.py)")
+                      "(losses/vgg.py)", file=sys.stderr)
 
         self.mesh = create_mesh(cfg.num_devices)
         self.logger = Logger(cfg.model, os.path.join(cfg.model_dir, "logs"))
