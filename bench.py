@@ -47,11 +47,13 @@ def main():
     key = jax.random.PRNGKey(0)
 
     state = trainer.state
-    # warmup / compile
+    # warmup / compile — must END with a host fetch: block_until_ready can
+    # return early through this environment's device relay, letting compile
+    # tail leak into the timed window (CLAUDE.md timing rule)
     for _ in range(2):
         key, k = jax.random.split(key)
         state, metrics = trainer._jit_step(state, batch, k)
-    jax.block_until_ready(metrics["loss_G"])
+    float(metrics["loss_G"])
 
     steps = 30
     t0 = time.perf_counter()

@@ -7,7 +7,9 @@
    fetch of the loss value (device->host copy cannot complete before the
    program does).
 
-Run: PYTHONPATH=... python scripts/timing_probe.py [fused|nofused]
+Run: PYTHONPATH=... python scripts/timing_probe.py [conv|taps|pallas|
+autodiff-taps|autodiff-transpose]   (note: a bare "transpose" arg behaves
+as taps — only "autodiff-transpose" triggers the transposed stat layout)
 """
 
 import json
@@ -107,7 +109,7 @@ def probe_g_pixel():
     dt_fetch = (time.perf_counter() - t0) / steps
     print(json.dumps({"probe": "g_pixel",
                       "slam_impl": os.environ.get("SRADSGAN_TPU_SLAM_IMPL",
-                                                  "taps"),
+                                                  "conv"),
                       "ms_block": round(dt_block * 1e3, 2),
                       "ms_fetch": round(dt_fetch * 1e3, 2),
                       "loss": val}), flush=True)

@@ -75,6 +75,11 @@ class TrainConfig:
     start_epoch: int = 0
     save_epochs: int = 1
     sample_interval: int = 100
+    # Epoch-end validation sweep size feeding the plateau-backtrack policy.
+    # None = the FULL test set, matching the reference's every-epoch sweep
+    # (sradsgan.py:979, 1058-1194) so plateau decisions see the same data;
+    # set a batch cap only for smoke runs.
+    val_max_batches: Optional[int] = None
     seed: int = 0
     save_dir: str = "Result"
     # Chain training: warm-start G/D from a previous-scale checkpoint with

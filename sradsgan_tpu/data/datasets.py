@@ -188,7 +188,7 @@ class NoisyDataset(FolderDataset):
     helpers at :15-49).
     """
 
-    noise: str = "gaussian"   # 'gaussian' | 'sp'
+    noise: str = "gaussian"   # 'gaussian' | 'sp' | 'poisson'
     noise_level: float = 0.01
 
     def load(self, index: int, rng: Optional[np.random.Generator] = None):
@@ -198,6 +198,13 @@ class NoisyDataset(FolderDataset):
         if self.noise == "gaussian":
             lr = lr + rng.normal(0, self.noise_level,
                                  lr.shape).astype(np.float32)
+        elif self.noise == "poisson":
+            # Shot noise (reference utils/utils.py:897-905): scale by the
+            # next power of two above the number of distinct levels, draw
+            # Poisson, rescale.
+            vals = 2.0 ** np.ceil(np.log2(max(len(np.unique(lr)), 2)))
+            lr = rng.poisson(np.maximum(lr, 0.0) * vals).astype(
+                np.float32) / vals
         else:
             u = rng.random(lr.shape[:2] + (1,))
             lr = np.where(u < self.noise_level / 2, 1.0,
@@ -236,12 +243,18 @@ class TripletFolderDataset:
     Reference GDP_x0/data/LRHR_dataset.py:9-128 (folder mode) with the
     optional joint random hflip of GDP_x0/data/util.py:74-92.  Values are
     kept in [0, 1] here; the diffusion trainer maps to [-1, 1].
+
+    ``hr_mask=True`` enables the reference's masked-HR mode
+    (LRHR_dataset.py:33-40, 99-104, 110): an ``hr_mask_{r}`` sibling folder
+    is read per-index and returned under ``"hr_mask"``, flipped jointly
+    with the HR/SR pair (the reference augments [SR, HR, Mask] together).
     """
 
     root: str
     lr_size: int
     hr_size: int
     hflip: bool = False
+    hr_mask: bool = False
 
     def __post_init__(self):
         self.lr_files = scan_image_dirs(
@@ -251,6 +264,11 @@ class TripletFolderDataset:
         self.sr_files = scan_image_dirs(
             [os.path.join(self.root, f"sr_{self.lr_size}_{self.hr_size}")])
         assert len(self.lr_files) == len(self.hr_files) == len(self.sr_files)
+        self.mask_files = None
+        if self.hr_mask:
+            self.mask_files = scan_image_dirs(
+                [os.path.join(self.root, f"hr_mask_{self.hr_size}")])
+            assert len(self.mask_files) == len(self.hr_files)
 
     def __len__(self) -> int:
         return len(self.hr_files)
@@ -261,12 +279,19 @@ class TripletFolderDataset:
         lr = to_f32(self.lr_files[index])
         hr = to_f32(self.hr_files[index])
         bc = to_f32(self.sr_files[index])
+        mask = (to_f32(self.mask_files[index])
+                if self.mask_files is not None else None)
         if self.hflip and rng is not None and rng.integers(0, 2):
             lr, hr, bc = lr[:, ::-1], hr[:, ::-1], bc[:, ::-1]
-        return {"lr": np.ascontiguousarray(lr),
-                "hr": np.ascontiguousarray(hr),
-                "bc": np.ascontiguousarray(bc),
-                "path": self.hr_files[index]}
+            if mask is not None:
+                mask = mask[:, ::-1]
+        out = {"lr": np.ascontiguousarray(lr),
+               "hr": np.ascontiguousarray(hr),
+               "bc": np.ascontiguousarray(bc),
+               "path": self.hr_files[index]}
+        if mask is not None:
+            out["hr_mask"] = np.ascontiguousarray(mask)
+        return out
 
 
 class LMDBTripletDataset:
@@ -332,9 +357,19 @@ class LMDBTripletDataset:
                 hr, sr, lr = fetch(index)
         out = {"hr": self._decode(hr), "bc": self._decode(sr),
                "path": f"lmdb:{index:05d}"}
-        out["lr"] = (self._decode(lr) if lr is not None
-                     else out["bc"][::self.hr_size // self.lr_size,
-                                    ::self.hr_size // self.lr_size])
+        if lr is not None:
+            out["lr"] = self._decode(lr)
+        else:
+            # The reference assumes the lr_{l} key exists
+            # (LRHR_dataset.py:74-95); when a writer omitted it, recreate
+            # the protocol's LR by PIL-BICUBIC-downsampling the decoded HR
+            # (NOT by stride-slicing the bicubic re-up, which would yield a
+            # non-protocol nearest-neighbor LR).
+            hr_img = Image.fromarray(
+                (out["hr"] * 255.0 + 0.5).astype(np.uint8))
+            lr_img = hr_img.resize((self.lr_size, self.lr_size),
+                                   Image.BICUBIC)
+            out["lr"] = np.asarray(lr_img, np.float32) / 255.0
         if self.hflip and rng is not None and rng.integers(0, 2):
             for k in ("lr", "hr", "bc"):
                 out[k] = np.ascontiguousarray(out[k][:, ::-1])

@@ -82,10 +82,11 @@ class _GateKernel(nn.Module):
 class SpatialGate(nn.Module):
     """sigmoid(conv7x7([mean_c; max_c])) * x, no bias.
 
-    Dispatches to ops/spatial_gate.py, which selects among four
+    Dispatches to ops/spatial_gate.py, which selects among the
     mathematically-equivalent formulations via SRADSGAN_TPU_SLAM_IMPL
-    (default: the measured-fastest ``taps`` stencil; a fused Pallas kernel
-    is available as ``pallas``).  Gate math is float32 on every backend.
+    (default: the measured-fastest ``conv`` — conv-stencil forward +
+    saved-residual backward, docs/PERF.md; ``taps`` and a fused Pallas
+    kernel remain available).  Gate math is float32 on every backend.
     """
 
     kernel_size: int = 7

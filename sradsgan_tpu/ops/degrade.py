@@ -80,6 +80,21 @@ def add_gaussian_noise(rng: jax.Array, x: jnp.ndarray,
                     0.0, 1.0)
 
 
+def add_poisson_noise(rng: jax.Array, x: jnp.ndarray,
+                      vals: float = 256.0) -> jnp.ndarray:
+    """Shot noise: clip(Poisson(x * vals) / vals, 0, 1).
+
+    Reference utils/utils.py:897-905 (``poisson_noise``) scales by
+    ``vals = 2**ceil(log2(#unique levels))`` — data-dependent and
+    host-side; on device the level count of uint8-sourced imagery is a
+    static 256, which the reference's formula reduces to for any
+    fully-populated 8-bit image.
+    """
+    lam = jnp.maximum(x.astype(jnp.float32) * vals, 0.0)
+    noisy = jax.random.poisson(rng, lam).astype(jnp.float32) / vals
+    return jnp.clip(noisy, 0.0, 1.0).astype(x.dtype)
+
+
 def add_salt_pepper_noise(rng: jax.Array, x: jnp.ndarray,
                           amount: float = 0.01) -> jnp.ndarray:
     """(reference data/dataset.py:32-49)"""

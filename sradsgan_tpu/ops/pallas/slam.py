@@ -379,8 +379,8 @@ def fused_spatial_gate(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     forward costs ~17 ms/step more across the flagship's 49 instances).
 
     x: (B, H, W, C); w: (k, k, 2, 1) HWIO (``nn.Conv(1, (k, k))`` layout).
-    Forward impl selected by SRADSGAN_TPU_SLAM_IMPL: taps (default) /
-    conv / pallas.
+    Forward impl selected by SRADSGAN_TPU_SLAM_IMPL: conv (default) /
+    taps / pallas.
     """
     if _pallas_ok(x):
         return _fwd_pallas(x, w)

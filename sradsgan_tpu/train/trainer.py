@@ -473,7 +473,10 @@ class Trainer:
                     [np.asarray(x).ravel()[:2048]
                      for x in jax.tree.leaves(self.state.d_params)])
                 self.logger.histo_summary("d_params", flat_d, step_count)
-            val = self.validate(max_batches=32)
+            # Full test sweep by default (reference sradsgan.py:979) — the
+            # plateau policy must see the same data the reference sees;
+            # cfg.val_max_batches caps it for smoke runs only.
+            val = self.validate(max_batches=cfg.val_max_batches)
             last_metrics = val
             self.logger.print_format_results("val", {"epoch": epoch, **val})
             for k in ("loss_G", "loss_D"):

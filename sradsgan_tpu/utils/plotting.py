@@ -82,3 +82,41 @@ def plot_curves(history: Dict[str, Sequence[float]], path: str) -> None:
     fig.tight_layout()
     fig.savefig(path, dpi=110)
     plt.close(fig)
+
+
+def show_attention_on_image(image01: np.ndarray, mask01: np.ndarray,
+                            path: str) -> None:
+    """Jet-heatmap attention overlay (reference utils/utils.py:156-167).
+
+    ``attention = (jet(mask) + image) / max(...)`` exactly as the reference
+    computes it (additive blend then global renormalize), with matplotlib's
+    jet colormap standing in for ``cv2.applyColorMap(COLORMAP_JET)``.
+
+    image01: (H, W, 3) float in [0, 1]; mask01: (H, W) float in [0, 1].
+    """
+    from matplotlib import cm
+
+    mask8 = np.uint8(255 * np.asarray(mask01, np.float32))
+    heatmap = cm.jet(mask8 / 255.0)[..., :3].astype(np.float32)
+    attention = heatmap + np.asarray(image01, np.float32)
+    attention = attention / max(float(attention.max()), 1e-8)
+    save_image(attention, path)
+
+
+def make_gif(frame_paths: Sequence[str], out_path: str,
+             fps: float = 5.0) -> None:
+    """Epoch-result animation (reference utils/utils.py:87-95, make_gif).
+
+    The reference globs per-epoch result PNGs and writes a 5-fps gif via
+    imageio; here the caller passes the frame paths and PIL writes the gif
+    (imageio is not in this image).
+    """
+    from PIL import Image
+
+    frames = [Image.open(p).convert("P", palette=Image.ADAPTIVE)
+              for p in frame_paths]
+    if not frames:
+        return
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    frames[0].save(out_path, save_all=True, append_images=frames[1:],
+                   duration=int(1000 / fps), loop=0)

@@ -170,3 +170,100 @@ def test_feature_extractors():
     m = MINCNet()
     v = m.init(jax.random.PRNGKey(0), x)
     assert m.apply(v, x).shape == (1, 4, 4, 512)
+
+
+def test_poisson_noise_both_tiers(tmp_path):
+    """Poisson shot noise (reference utils/utils.py:897-905): host dataset
+    mode + device op agree on semantics (non-negative, clipped, mean close
+    to the clean signal)."""
+    from PIL import Image
+    from sradsgan_tpu.data.datasets import NoisyDataset
+    from sradsgan_tpu.ops.degrade import add_poisson_noise
+
+    rng = np.random.default_rng(0)
+    p = str(tmp_path / "img.png")
+    Image.fromarray(rng.integers(0, 255, (64, 64, 3),
+                                 dtype=np.uint8)).save(p)
+    ds = NoisyDataset([p], scale=2, crop_size=32, noise="poisson")
+    out = ds.load(0, np.random.default_rng(1))
+    lr = out["lr"]
+    assert lr.min() >= 0.0 and lr.max() <= 1.0
+    clean = NoisyDataset([p], scale=2, crop_size=32,
+                         noise="gaussian", noise_level=0.0).load(0)["lr"]
+    assert abs(float(lr.mean()) - float(clean.mean())) < 0.05
+    assert float(np.abs(lr - clean).mean()) > 1e-4  # noise actually applied
+
+    x = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    y = add_poisson_noise(jax.random.PRNGKey(0), x)
+    assert y.shape == x.shape
+    assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+    assert abs(float(y.mean()) - float(x.mean())) < 0.05
+
+
+def test_triplet_folder_hr_mask_mode(tmp_path):
+    """GDP masked-HR triplets (LRHR_dataset.py:33-40, 99-104): the
+    hr_mask_{r} folder is read and flipped jointly with HR."""
+    import os
+    from PIL import Image
+    from sradsgan_tpu.tools.prepare_data import prepare_triplets
+    from sradsgan_tpu.data.datasets import TripletFolderDataset
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3),
+                                     dtype=np.uint8)).save(
+            os.path.join(src, f"{i}.png"))
+    prepare_triplets(src, str(tmp_path / "out"), hr_size=32, lr_size=8)
+    mask_dir = os.path.join(str(tmp_path / "out"), "hr_mask_32")
+    os.makedirs(mask_dir)
+    hr_dir = os.path.join(str(tmp_path / "out"), "hr_32")
+    for name in sorted(os.listdir(hr_dir)):
+        m = rng.integers(0, 2, (32, 32), dtype=np.uint8) * 255
+        Image.fromarray(np.stack([m] * 3, -1)).save(
+            os.path.join(mask_dir, name))
+
+    ds = TripletFolderDataset(str(tmp_path / "out"), lr_size=8, hr_size=32,
+                              hr_mask=True)
+    out = ds.load(0)
+    assert out["hr_mask"].shape == (32, 32, 3)
+    assert set(np.unique(out["hr_mask"])) <= {0.0, 1.0}
+
+    # joint flip: load with an rng that flips, mask must flip with hr
+    ds_flip = TripletFolderDataset(str(tmp_path / "out"), lr_size=8,
+                                   hr_size=32, hflip=True, hr_mask=True)
+    for seed in range(8):
+        r = np.random.default_rng(seed)
+        o = ds_flip.load(0, r)
+        flipped = not np.array_equal(o["hr"], out["hr"])
+        assert np.array_equal(
+            o["hr_mask"], out["hr_mask"][:, ::-1] if flipped
+            else out["hr_mask"])
+
+
+def test_attention_overlay_and_gif(tmp_path):
+    """show_attention_on_image (utils/utils.py:156-167) + make_gif
+    (:87-95)."""
+    from PIL import Image
+    from sradsgan_tpu.utils.plotting import (make_gif,
+                                             show_attention_on_image)
+
+    rng = np.random.default_rng(0)
+    img = rng.random((24, 24, 3)).astype(np.float32)
+    mask = rng.random((24, 24)).astype(np.float32)
+    out = str(tmp_path / "attn.png")
+    show_attention_on_image(img, mask, out)
+    arr = np.asarray(Image.open(out))
+    assert arr.shape == (24, 24, 3)
+
+    frames = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.png")
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3),
+                                     dtype=np.uint8)).save(p)
+        frames.append(p)
+    gif = str(tmp_path / "anim.gif")
+    make_gif(frames, gif, fps=5)
+    g = Image.open(gif)
+    assert g.format == "GIF" and getattr(g, "n_frames", 1) == 3

@@ -185,6 +185,43 @@ def test_plateau_rewind_and_history_pop(monkeypatch, tmp_path):
     assert d_lr > g_lr
 
 
+def test_epoch_validation_sees_full_sweep_by_default(monkeypatch, tmp_path):
+    """The plateau policy must be fed the FULL test sweep (reference
+    validates the whole set every epoch, sradsgan.py:979); cfg.val_max_batches
+    caps it only when explicitly set."""
+    cfg = _tiny_cfg("edsr", base_filters=8, num_residuals=1)
+    cfg.save_dir = str(tmp_path)
+    cfg.num_epochs = 1
+    cfg.data.synthetic_size = 8
+    trainer = Trainer(cfg)
+
+    seen = []
+    orig = trainer.validate
+
+    def spy_validate(max_batches=None):
+        seen.append(max_batches)
+        return orig(max_batches=max_batches)
+
+    monkeypatch.setattr(trainer, "validate", spy_validate)
+    trainer.train()
+    assert seen == [None], seen  # full sweep reached the epoch-end call
+
+    cfg2 = _tiny_cfg("edsr", base_filters=8, num_residuals=1)
+    cfg2.save_dir = str(tmp_path) + "_capped"
+    cfg2.num_epochs = 1
+    cfg2.data.synthetic_size = 8
+    cfg2.val_max_batches = 2
+    trainer2 = Trainer(cfg2)
+    seen2 = []
+    orig2 = trainer2.validate
+    monkeypatch.setattr(
+        trainer2, "validate",
+        lambda max_batches=None: (seen2.append(max_batches),
+                                  orig2(max_batches=max_batches))[1])
+    trainer2.train()
+    assert seen2 == [2], seen2
+
+
 def test_full_state_checkpoint_with_optimizer(tmp_path):
     cfg = _tiny_cfg("edsr", base_filters=8, num_residuals=1)
     cfg.save_dir = str(tmp_path)
