@@ -129,3 +129,133 @@ def test_generator_pkl_conversion(tmp_path):
     assert out["conv.weight"].shape == (3, 3, 3, 8)   # OIHW -> HWIO
     assert out["fc.weight"].shape == (8, 4)           # (o,i) -> (i,o)
     np.testing.assert_allclose(out["conv.bias"], sd["conv.bias"].numpy())
+
+
+def _torch_vgg16_features():
+    """torchvision vgg16 ``features`` trunk with random weights."""
+    layers = []
+    c_in = 3
+    for b, (ch, n) in enumerate(((64, 2), (128, 2), (256, 3), (512, 3),
+                                 (512, 3))):
+        if b > 0:
+            layers.append(torch.nn.MaxPool2d(2, 2))
+        for _ in range(n):
+            layers += [torch.nn.Conv2d(c_in, ch, 3, padding=1),
+                       torch.nn.ReLU()]
+            c_in = ch
+    m = torch.nn.Module()
+    m.features = torch.nn.Sequential(*layers)
+    return m
+
+
+class _TorchFire(torch.nn.Module):
+    def __init__(self, c_in, squeeze, expand):
+        super().__init__()
+        self.squeeze = torch.nn.Conv2d(c_in, squeeze, 1)
+        self.expand1x1 = torch.nn.Conv2d(squeeze, expand, 1)
+        self.expand3x3 = torch.nn.Conv2d(squeeze, expand, 3, padding=1)
+
+    def forward(self, x):
+        x = torch.relu(self.squeeze(x))
+        return torch.cat([torch.relu(self.expand1x1(x)),
+                          torch.relu(self.expand3x3(x))], 1)
+
+
+def _torch_squeezenet_features():
+    """torchvision squeezenet1_1 ``features`` trunk with random weights."""
+    fires = ((64, 16, 64), (128, 16, 64), (128, 32, 128), (256, 32, 128),
+             (256, 48, 192), (384, 48, 192), (384, 64, 256), (512, 64, 256))
+    layers = [torch.nn.Conv2d(3, 64, 3, stride=2), torch.nn.ReLU()]
+    for i, (c_in, sq, ex) in enumerate(fires):
+        if i in (0, 2, 4):
+            layers.append(torch.nn.MaxPool2d(3, 2, ceil_mode=True))
+        layers.append(_TorchFire(c_in, sq, ex))
+    m = torch.nn.Module()
+    m.features = torch.nn.Sequential(*layers)
+    return m
+
+
+def test_vgg16_lpips_trunk_conversion_parity(tmp_path, monkeypatch):
+    from sradsgan_tpu.losses import lpips as lpips_mod
+
+    m = _torch_vgg16_features()
+    pth = str(tmp_path / "vgg16.pth")
+    npz = str(tmp_path / "vgg16.npz")
+    torch.save(m.state_dict(), pth)
+    assert convert_torch.main(["vgg16", pth, npz]) == 0
+
+    data = np.load(npz)
+    model = lpips_mod.VGG16Features()
+    x = rng.random((1, 64, 64, 3)).astype(np.float32)
+    params = {f"conv{i}": {"kernel": jnp.asarray(data[f"conv{i}/kernel"]),
+                           "bias": jnp.asarray(data[f"conv{i}/bias"])}
+              for i in range(13)}
+    taps = model.apply({"params": params}, jnp.asarray(x))
+
+    with torch.no_grad():
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ref_taps = []
+        relu_idx = 0
+        relus_per_block = (2, 4, 7, 10, 13)
+        for layer in m.features:
+            t = layer(t)
+            if isinstance(layer, torch.nn.ReLU):
+                relu_idx += 1
+                if relu_idx in relus_per_block:
+                    ref_taps.append(t.numpy().transpose(0, 2, 3, 1))
+    assert len(ref_taps) == len(taps) == 5
+    for i, (a, b) in enumerate(zip(taps, ref_taps)):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-4, rtol=1e-4,
+                                   err_msg=f"tap {i}")
+
+    monkeypatch.setenv(lpips_mod.VGG16_WEIGHTS_ENV, npz)
+    lpips_mod._build_lpips.cache_clear()
+    try:
+        assert lpips_mod.lpips_is_calibrated("vgg")
+        fn = lpips_mod.lpips_fn("vgg")
+        a = rng.random((64, 64, 3)).astype(np.float32)
+        assert fn(a, a) == pytest.approx(0.0, abs=1e-6)
+        assert np.isfinite(fn(a, rng.random((64, 64, 3)).astype(np.float32)))
+    finally:
+        lpips_mod._build_lpips.cache_clear()
+
+
+def test_squeezenet_lpips_trunk_conversion_parity(tmp_path, monkeypatch):
+    from sradsgan_tpu.losses import lpips as lpips_mod
+
+    m = _torch_squeezenet_features()
+    pth = str(tmp_path / "squeeze.pth")
+    npz = str(tmp_path / "squeeze.npz")
+    torch.save(m.state_dict(), pth)
+    assert convert_torch.main(["squeezenet", pth, npz]) == 0
+
+    model = lpips_mod.SqueezeNetFeatures()
+    # 65x65 input exercises ceil-mode pooling on odd sizes
+    x = rng.random((1, 65, 65, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = lpips_mod._nest_npz(np.load(npz))
+    taps = model.apply({"params": params}, jnp.asarray(x))
+
+    with torch.no_grad():
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ref_taps = []
+        for i, layer in enumerate(m.features):
+            t = layer(t)
+            if i in (1, 4, 7, 9, 10, 11, 12):
+                ref_taps.append(t.numpy().transpose(0, 2, 3, 1))
+    assert len(ref_taps) == len(taps) == 7
+    for i, (a, b) in enumerate(zip(taps, ref_taps)):
+        assert a.shape == b.shape, (i, a.shape, b.shape)
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-4, rtol=1e-4,
+                                   err_msg=f"tap {i}")
+
+    monkeypatch.setenv(lpips_mod.SQUEEZENET_WEIGHTS_ENV, npz)
+    lpips_mod._build_lpips.cache_clear()
+    try:
+        assert lpips_mod.lpips_is_calibrated("squeeze")
+        fn = lpips_mod.lpips_fn("squeeze")
+        a = rng.random((64, 64, 3)).astype(np.float32)
+        assert fn(a, a) == pytest.approx(0.0, abs=1e-6)
+        assert np.isfinite(fn(a, rng.random((64, 64, 3)).astype(np.float32)))
+    finally:
+        lpips_mod._build_lpips.cache_clear()
