@@ -1,0 +1,58 @@
+"""Fill the PERF.md zoo table: full train-step throughput for the model
+families not yet measured on hardware (EDSR/SRGAN/DSSR/AMSSRN/SRAGAN),
+each at its reference config (SURVEY.md §3.5: batch 16, 216² HR crops, ×4).
+Fetch-bounded timing; finite-loss asserted.
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/zoo_bench.py [models...]
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench_model(name, steps=20):
+    import jax
+
+    from sradsgan_tpu.core.config import config_for_model
+    from sradsgan_tpu.parallel.mesh import shard_batch
+    from sradsgan_tpu.train.trainer import Trainer
+
+    cfg = config_for_model(name, 4)
+    cfg.data.synthetic = True
+    cfg.data.crop_size = 216
+    cfg.data.batch_size = 16
+    cfg.save_dir = f"/tmp/zoo_bench_{name}"
+    trainer = Trainer(cfg)
+    rng = np.random.default_rng(0)
+    batch = shard_batch({
+        "lr": rng.random((16, 54, 54, 3)).astype(np.float32),
+        "hr": rng.random((16, 216, 216, 3)).astype(np.float32),
+        "bc": rng.random((16, 216, 216, 3)).astype(np.float32),
+    }, trainer.mesh)
+    key = jax.random.PRNGKey(0)
+    state = trainer.state
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        state, metrics = trainer._jit_step(state, batch, k)
+    float(metrics["loss_G"])  # fetch closes warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, k = jax.random.split(key)
+        state, metrics = trainer._jit_step(state, batch, k)
+    final = {k: float(v) for k, v in metrics.items()}
+    dt = (time.perf_counter() - t0) / steps
+    assert all(np.isfinite(v) for v in final.values()), (name, final)
+    print(json.dumps({"model": name, "ms_per_step": round(dt * 1e3, 1),
+                      "mps": round(16 * 216 * 216 / 1e6 / dt, 2),
+                      **{k: round(v, 4) for k, v in final.items()}}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    from sradsgan_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+    models = sys.argv[1:] or ["edsr", "srgan", "dssr", "amssrn", "sragan"]
+    for m in models:
+        bench_model(m)

@@ -88,6 +88,11 @@ class TrainConfig:
     init_from: Optional[str] = None
     # Mixed precision: bfloat16 activations, float32 params/updates.
     bf16: bool = True
+    # Train steps per host dispatch: >1 runs a lax.scan of the train step
+    # over stacked batches (one compiled program, K steps per call) —
+    # amortizes dispatch latency, the TPU-idiomatic inner loop.  Logging /
+    # sampling cadences snap to multiples of this.
+    steps_per_call: int = 1
     # bfloat16 discriminator convs (BatchNorm always computes in f32
     # internally — nn/norm.py).  Round-1's bf16-D divergence traced to the
     # flax BN bf16 backward; with f32 norm internals the bf16 D passes the

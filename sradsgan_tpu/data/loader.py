@@ -17,7 +17,7 @@ from typing import Dict, Iterator
 
 import numpy as np
 
-from sradsgan_tpu.parallel.mesh import shard_batch
+from sradsgan_tpu.parallel.mesh import shard_batch, shard_stacked_batches
 
 
 def _collate(samples) -> Dict[str, np.ndarray]:
@@ -88,6 +88,43 @@ class DataLoader:
                 pending = pool.map(load_one, nxt)
                 yield _collate(samples)
             yield _collate(list(pending))
+
+
+def device_prefetch_stacked(iterator, mesh, k: int, depth: int = 2,
+                            keys=("lr", "hr")):
+    """Buffer ``k`` host batches, stack them into (K, B, ...) arrays, and
+    move them to device ahead of consumption — feed for the trainer's
+    multi-step ``lax.scan`` (one dispatch per K steps instead of per step).
+
+    Yields ``(stacked_device_tree, last_host_batch)``; the last raw batch
+    is kept host-side for sample-interval eval.  A trailing partial chunk
+    (< k batches) is dropped, like ``drop_last`` — a smaller K would force
+    a fresh XLA compile.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def producer():
+        try:
+            buf = []
+            for batch in iterator:
+                batch.pop("path", None)
+                buf.append(batch)
+                if len(buf) == k:
+                    stacked = {key: np.stack([b[key] for b in buf])
+                               for key in keys}
+                    q.put((shard_stacked_batches(stacked, mesh), buf[-1]))
+                    buf = []
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
 
 
 def device_prefetch(iterator, mesh, depth: int = 2):

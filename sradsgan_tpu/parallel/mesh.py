@@ -55,6 +55,21 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree.map(put, batch)
 
 
+def shard_stacked_batches(batches: Any, mesh: Mesh) -> Any:
+    """Device-put a pytree of (K, B, ...) host arrays — K stacked train
+    batches for a multi-step ``lax.scan`` — with the BATCH axis (dim 1)
+    split over the mesh and the scan axis replicated."""
+    split = NamedSharding(mesh, P(None, DATA_AXIS))
+    repl = replicated(mesh)
+    n = mesh.devices.size
+
+    def put(x):
+        ok = getattr(x, "ndim", 0) >= 2 and x.shape[1] % n == 0
+        return jax.device_put(x, split if ok else repl)
+
+    return jax.tree.map(put, batches)
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

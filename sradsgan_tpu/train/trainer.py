@@ -121,6 +121,7 @@ class Trainer:
                                        cfg.optim.b2)
         self.state = self._init_state()
         self._jit_step = jax.jit(self._train_step, donate_argnums=(0,))
+        self._jit_multi_step = jax.jit(self._multi_step, donate_argnums=(0,))
         self._jit_eval = jax.jit(self._eval_step)
 
     # ------------------------------------------------------------------
@@ -334,6 +335,25 @@ class Trainer:
         return new_state, metrics
 
     # ------------------------------------------------------------------
+    # Multi-step scan: K train steps per dispatch
+    # ------------------------------------------------------------------
+    def _multi_step(self, state: GANTrainState, batches, rngs):
+        """``lax.scan`` of :meth:`_train_step` over K stacked batches.
+
+        TPU-idiomatic inner loop (cfg.steps_per_call): the scan compiles the
+        step body once and runs K steps per host dispatch, amortizing
+        dispatch/launch latency — with the remote-relay device of this
+        environment that latency is material.  Returns the final state and
+        the stacked (K,)-leading metrics.
+        """
+        def body(st, xs):
+            batch, rng = xs
+            st, metrics = self._train_step(st, batch, rng)
+            return st, metrics
+
+        return jax.lax.scan(body, state, (batches, rngs))
+
+    # ------------------------------------------------------------------
     # Evaluation step (fast on-device PSNR/SSIM vs HR and bicubic twin)
     # ------------------------------------------------------------------
     def _eval_step(self, state: GANTrainState,
@@ -409,6 +429,7 @@ class Trainer:
         step_count = 0
         t0 = time.time()
         last_metrics: Dict[str, float] = {}
+        metrics: Dict[str, Any] = {}
         # loss/metric curves (reference plot_loss + avg_* histories,
         # utils/utils.py:55-86, sradsgan.py:1048-1056)
         self.history: Dict[str, list] = {"loss_G": [], "loss_D": [],
@@ -428,13 +449,39 @@ class Trainer:
                                 drop_last=True,
                                 num_workers=cfg.data.num_workers,
                                 seed=cfg.seed + epoch)
-            for batch in device_prefetch(iter(loader), self.mesh):
-                batch.pop("path", None)
+            # Clamp the scan length to the epoch length: shorter epochs
+            # (tiny datasets) would otherwise yield ZERO full chunks —
+            # device_prefetch_stacked drops partial chunks to keep one
+            # compiled shape.
+            spc = max(1, min(cfg.steps_per_call, len(loader)))
+
+            def _calls():
+                """Yields (device payload, eval-able batch, K)."""
+                if spc == 1:
+                    for batch in device_prefetch(iter(loader), self.mesh):
+                        batch.pop("path", None)
+                        yield batch, batch, 1
+                else:
+                    from sradsgan_tpu.data.loader import \
+                        device_prefetch_stacked
+                    from sradsgan_tpu.parallel.mesh import shard_batch
+                    for stacked, last in device_prefetch_stacked(
+                            iter(loader), self.mesh, spc):
+                        yield stacked, shard_batch(last, self.mesh), spc
+
+            for payload, eval_batch, k_steps in _calls():
                 rng, step_rng = jax.random.split(rng)
-                self.state, metrics = self._jit_step(self.state, batch,
-                                                     step_rng)
-                step_count += 1
-                if step_count % 50 == 0:
+                if k_steps == 1:
+                    self.state, metrics = self._jit_step(self.state, payload,
+                                                         step_rng)
+                else:
+                    self.state, mk = self._jit_multi_step(
+                        self.state, payload,
+                        jax.random.split(step_rng, k_steps))
+                    metrics = {k: v[-1] for k, v in mk.items()}
+                prev_count = step_count
+                step_count += k_steps
+                if step_count // 50 > prev_count // 50:
                     m = {k: float(v) for k, v in metrics.items()}
                     rate = (step_count * cfg.data.batch_size
                             * cfg.data.crop_size ** 2 / 1e6
@@ -445,11 +492,12 @@ class Trainer:
                     for k, v in m.items():
                         self.logger.scalar_summary(k, v, step_count)
                 if (cfg.sample_interval
-                        and step_count % cfg.sample_interval == 0):
+                        and step_count // cfg.sample_interval
+                        > prev_count // cfg.sample_interval):
                     # in-training sample metrics vs the bicubic twin
                     # (reference sradsgan.py:911-969) + TB image summary
                     # (reference utils/logger.py:64-87)
-                    q = dict(self._jit_eval(self.state, batch))
+                    q = dict(self._jit_eval(self.state, eval_batch))
                     sr0 = np.asarray(q.pop("sr0"))[0]
                     self.logger.print_format_results(
                         "train", {"epoch": epoch, "step": step_count,
@@ -457,8 +505,8 @@ class Trainer:
                                      for k, v in q.items()}})
                     self.logger.image_summary(
                         "sample/sr_hr_bicubic",
-                        [sr0, np.asarray(batch["hr"])[0],
-                         np.asarray(batch["bc"])[0]], step_count)
+                        [sr0, np.asarray(eval_batch["hr"])[0],
+                         np.asarray(eval_batch["bc"])[0]], step_count)
                 if num_steps is not None and step_count >= num_steps:
                     return {k: float(v) for k, v in metrics.items()}
 

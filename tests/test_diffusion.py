@@ -152,3 +152,46 @@ def test_sample_arbitrary_size(tmp_path):
     sr = trainer.super_resolution(bc)
     assert sr.shape == (1, 13, 11, 3)
     assert np.all(np.isfinite(sr))
+
+
+def test_diffusion_train_step_mesh_invariant(tmp_path):
+    """The diffusion train step is mesh-size invariant: identical loss and
+    params on 1 vs 8 devices (the GAN step's test_sharding.py analog; the
+    reference is single-GPU, GDP_x0/model/model.py:12-58)."""
+    import jax
+    from sradsgan_tpu.data.loader import device_prefetch
+    from sradsgan_tpu.parallel.mesh import shard_batch
+
+    rng = np.random.default_rng(5)
+    batch = {"HR": 2.0 * rng.random((8, 16, 16, 3)).astype(np.float32) - 1.0,
+             "SR": 2.0 * rng.random((8, 16, 16, 3)).astype(np.float32) - 1.0}
+    key = jax.random.PRNGKey(3)
+    results = {}
+    for n_dev in (1, 8):
+        cfg = DataConfig(synthetic=True, synthetic_size=8, crop_size=16,
+                         test_crop_size=16, batch_size=8, num_workers=2)
+        trainer = DiffusionTrainer(cfg, scale=2, save_dir=str(tmp_path),
+                                   n_timestep=8, bf16=False,
+                                   num_devices=n_dev,
+                                   unet_kwargs={"inner_channel": 32,
+                                                "channel_mults": (1, 2),
+                                                "res_blocks": 1})
+        sharded = shard_batch(batch, trainer.mesh)
+        params, _, loss = trainer._jit_train(trainer.params,
+                                             trainer.opt_state, sharded, key)
+        results[n_dev] = (jax.tree.map(np.asarray, params), float(loss))
+    assert abs(results[1][1] - results[8][1]) < 1e-6
+    for a, b in zip(jax.tree.leaves(results[1][0]),
+                    jax.tree.leaves(results[8][0])):
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_batched_sampler_multi_image(tmp_path):
+    """The ancestral sampler amortizes over a batch: sampling 3 images in
+    one call equals per-image shapes and stays finite (reference hot loop
+    GDP_x0/model/gdp_modules/diffusion.py:207-237 is single-image)."""
+    trainer = _tiny_trainer(tmp_path, timesteps=6)
+    bc = np.random.default_rng(1).random((3, 16, 16, 3)).astype(np.float32)
+    sr = trainer.super_resolution(bc)
+    assert sr.shape == (3, 16, 16, 3)
+    assert np.all(np.isfinite(sr))

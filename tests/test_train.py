@@ -240,3 +240,67 @@ def test_relativistic_gan_step():
     trainer = Trainer(cfg)
     out = trainer.train(num_steps=2)
     assert np.isfinite(out["loss_G"]) and np.isfinite(out["loss_D"])
+
+
+def test_multi_step_scan_equals_sequential_steps():
+    """cfg.steps_per_call: the lax.scan multi-step program produces exactly
+    the same state as K sequential single-step dispatches given the same
+    batches and rng chain."""
+    import jax
+    import jax.numpy as jnp
+    from sradsgan_tpu.parallel.mesh import shard_batch, shard_stacked_batches
+
+    K = 3
+    rng = np.random.default_rng(9)
+    batches = [{
+        "lr": rng.random((4, 8, 8, 3)).astype(np.float32),
+        "hr": rng.random((4, 16, 16, 3)).astype(np.float32),
+    } for _ in range(K)]
+    keys = jax.random.split(jax.random.PRNGKey(4), K)
+
+    cfg = _tiny_cfg("srgan", base_filters=8, num_residuals=1)
+    cfg.data.batch_size = 4
+
+    t1 = Trainer(cfg)
+    seq_state = t1.state
+    for i in range(K):
+        seq_state, seq_metrics = t1._jit_step(
+            seq_state, shard_batch(batches[i], t1.mesh), keys[i])
+
+    t2 = Trainer(cfg)
+    stacked = shard_stacked_batches(
+        {k: np.stack([b[k] for b in batches]) for k in ("lr", "hr")},
+        t2.mesh)
+    scan_state, scan_metrics = t2._jit_multi_step(t2.state, stacked,
+                                                  jnp.asarray(keys))
+
+    # The scan and the K-dispatch path are DIFFERENT compiled programs, so
+    # f32 reduction orders differ; Adam amplifies that to +-lr*K on
+    # elements whose gradients are ~0 (fresh-init conv biases).  Assert the
+    # two-tier invariant (as in test_sharding.py): the overwhelming
+    # majority of parameters agree to 1e-6, the degenerate tail is bounded
+    # by the accumulated update magnitude.
+    lr = cfg.optim.lr
+    for seq_p, scan_p in ((seq_state.g_params, scan_state.g_params),
+                          (seq_state.d_params, scan_state.d_params)):
+        a = np.concatenate([np.asarray(x).ravel()
+                            for x in jax.tree.leaves(seq_p)])
+        b = np.concatenate([np.asarray(x).ravel()
+                            for x in jax.tree.leaves(scan_p)])
+        diff = np.abs(a - b)
+        # early-Adam per-step updates reach ~2x lr (bias correction)
+        assert diff.max() < 2.5 * K * lr, diff.max()
+        assert (diff < 1e-6).mean() > 0.98, (diff >= 1e-6).mean()
+    assert float(seq_metrics["loss_G"]) == pytest.approx(
+        float(scan_metrics["loss_G"][-1]), rel=1e-3, abs=1e-4)
+
+
+def test_train_loop_with_steps_per_call():
+    """The training loop drives correctly with steps_per_call > 1
+    (logging cadence snapping, sample-interval eval on the last batch)."""
+    cfg = _tiny_cfg("srgan", base_filters=8, num_residuals=1)
+    cfg.steps_per_call = 2
+    cfg.sample_interval = 2
+    trainer = Trainer(cfg)
+    out = trainer.train(num_steps=4)
+    assert np.isfinite(out["loss_G"]) and np.isfinite(out["loss_D"])
