@@ -101,6 +101,34 @@ class SpatialGate(nn.Module):
         return spatial_gate_apply(x, kernel, pool_mode=self.pool_mode)
 
 
+def _chunked_attention(q, k, v, target_chunk: int = 768):
+    """Flash-style query-chunked attention (opt-in,
+    SRADSGAN_TPU_SGAM_IMPL=chunked): process query blocks through a
+    rematerialized ``lax.map`` so neither the forward residuals nor the
+    backward ever hold the full (B, HW, HW) energy — per-block energies are
+    recomputed in the backward (jax.checkpoint).  Same math as the bf16
+    energy path (f32 row statistics)."""
+    import jax
+
+    b, n, d = q.shape
+    chunk = next((c for c in range(min(target_chunk, n), 0, -1)
+                  if n % c == 0))
+    nb = n // chunk
+    qb = q.reshape(b, nb, chunk, d).transpose(1, 0, 2, 3)   # (nb, b, m, d)
+
+    def block(q_blk):
+        e = jnp.einsum("bmd,bkd->bmk", q_blk, k,
+                       preferred_element_type=jnp.bfloat16)
+        mx = jnp.max(e, axis=-1, keepdims=True).astype(jnp.float32)
+        p = jnp.exp(e.astype(jnp.float32) - mx)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        a = (p / s).astype(v.dtype)
+        return jnp.einsum("bmk,bkc->bmc", a, v)
+
+    out = jax.lax.map(jax.checkpoint(block), qb)            # (nb, b, m, c)
+    return out.transpose(1, 0, 2, 3).reshape(b, n, v.shape[-1])
+
+
 class SpatialSelfAttention(nn.Module):
     """Position self-attention with zero-init residual gain (SGAM/PAM).
 
@@ -122,8 +150,12 @@ class SpatialSelfAttention(nn.Module):
         v = nn.Conv(c, (1, 1), kernel_init=default_kernel_init,
                     dtype=self.dtype)(x).reshape(b, h * w, c)
         import os
-        if (x.dtype == jnp.bfloat16
-                and os.environ.get("SRADSGAN_TPU_SGAM_F32", "") != "1"):
+        impl = os.environ.get("SRADSGAN_TPU_SGAM_IMPL", "")
+        if os.environ.get("SRADSGAN_TPU_SGAM_F32", "") == "1":
+            impl = "f32"  # back-compat knob
+        if x.dtype == jnp.bfloat16 and impl == "chunked":
+            out = _chunked_attention(q, k, v).reshape(b, h, w, c)
+        elif x.dtype == jnp.bfloat16 and impl != "f32":
             # The (B, HW, HW) energy is the op's HBM cost (544 MB in f32 at
             # 54^2 x batch 16).  The QK contraction depth is only C//8, so
             # bf16 accumulation is safe; materialize energy/attn in bf16
@@ -134,13 +166,14 @@ class SpatialSelfAttention(nn.Module):
             p = jnp.exp(energy.astype(jnp.float32) - m)
             s = jnp.sum(p, axis=-1, keepdims=True)
             attn = (p / s).astype(jnp.bfloat16)
+            out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
         else:
             # exact f32 softmax (the torch-parity formulation)
             energy = jnp.einsum("bqd,bkd->bqk", q, k,
                                 preferred_element_type=jnp.float32)
             attn = nn.softmax(energy.astype(jnp.float32),
                               axis=-1).astype(v.dtype)
-        out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
+            out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
         gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
         return gamma.astype(x.dtype) * out + x
 

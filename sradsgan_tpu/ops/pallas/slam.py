@@ -245,6 +245,23 @@ def _gate_conv_reference(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 # Backward math (pure jnp) — also the source of truth for second-order AD
 # ---------------------------------------------------------------------------
 
+def _plane_grads(ds, w32):
+    """(dmean, dmax) via ONE transposed conv on the ds plane.
+
+    The stat-plane gradient is conv(ds, rot180(w_i)) per plane; lowering it
+    as a single 1->2-channel ``lax.conv`` beats the unrolled 2*k*k
+    shift-and-add stencil for the same reason the forward's conv
+    formulation beat taps (docs/PERF.md shootout): the conv emitter's
+    plane passes are fused, the 98 unaligned lane-shifts are not.
+    ds: (B, H, W) f32; w32: (k, k, 2, 1) f32.
+    """
+    kern = jnp.flip(w32[:, :, :, 0], axis=(0, 1))[:, :, None, :]  # (k,k,1,2)
+    out = jax.lax.conv_general_dilated(
+        ds[..., None], kern, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out[..., 0], out[..., 1]
+
+
 def _dw_contraction(ds, mean, mx, k, pad, h, wdt, wdtype):
     """dw: tiny contraction over the pooled planes (XLA)."""
     planes = jnp.stack([mean, mx], axis=-1)               # (B, H, W, 2)
@@ -272,15 +289,7 @@ def _bwd_jnp(x, w, g):
     gate = jax.nn.sigmoid(s)
     dgate = jnp.sum(g32 * x32, axis=-1)
     ds = dgate * gate * (1.0 - gate)
-    dsp = jnp.pad(ds, ((0, 0), (pad, pad), (pad, pad)))
-    dmean = jnp.zeros_like(mean)
-    dmax = jnp.zeros_like(mx)
-    for dh in range(k):
-        for dw in range(k):
-            shifted = dsp[:, 2 * pad - dh:2 * pad - dh + h,
-                          2 * pad - dw:2 * pad - dw + wdt]
-            dmean = dmean + w[dh, dw, 0, 0].astype(jnp.float32) * shifted
-            dmax = dmax + w[dh, dw, 1, 0].astype(jnp.float32) * shifted
+    dmean, dmax = _plane_grads(ds, w.astype(jnp.float32))
     is_max = (x32 == mx[..., None]).astype(jnp.float32)
     ties = jnp.maximum(jnp.sum(is_max, axis=-1), 1.0)
     dx = (g32 * gate[..., None] + dmean[..., None] / c
@@ -335,15 +344,7 @@ def _gate_bwd_saved(x, w, g, gate, mean, mx):
     g32 = g.astype(jnp.float32)
     dgate = jnp.sum(g32 * x32, axis=-1)
     ds = dgate * gate * (1.0 - gate)
-    dsp = jnp.pad(ds, ((0, 0), (pad, pad), (pad, pad)))
-    dmean = jnp.zeros_like(mean)
-    dmax = jnp.zeros_like(mx)
-    for dh in range(k):
-        for dw in range(k):
-            shifted = dsp[:, 2 * pad - dh:2 * pad - dh + h,
-                          2 * pad - dw:2 * pad - dw + wdt]
-            dmean = dmean + w[dh, dw, 0, 0].astype(jnp.float32) * shifted
-            dmax = dmax + w[dh, dw, 1, 0].astype(jnp.float32) * shifted
+    dmean, dmax = _plane_grads(ds, w.astype(jnp.float32))
     is_max = (x32 == mx[..., None]).astype(jnp.float32)
     ties = jnp.maximum(jnp.sum(is_max, axis=-1), 1.0)
     dx = (g32 * gate[..., None] + dmean[..., None] / c

@@ -107,3 +107,31 @@ def test_make_act_prelu_is_learned():
     v = w.init(jax.random.PRNGKey(0), x)
     y = w.apply(v, jnp.array([[-2.0, 3.0]]))
     np.testing.assert_allclose(np.asarray(y), [[-0.5, 3.0]])
+
+
+def test_chunked_sgam_matches_dense_path(monkeypatch):
+    """SRADSGAN_TPU_SGAM_IMPL=chunked: the flash-style query-chunked SGAM
+    equals the dense bf16-energy formulation to bf16 rounding, and its
+    rematerialized backward is finite."""
+    import jax
+    import jax.numpy as jnp
+    from sradsgan_tpu.nn.attention import _chunked_attention
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.random((2, 48, 2)), jnp.bfloat16)
+    k = jnp.asarray(rng.random((2, 48, 2)), jnp.bfloat16)
+    v = jnp.asarray(rng.random((2, 48, 16)), jnp.bfloat16)
+    out = _chunked_attention(q, k, v, target_chunk=16)
+    e = jnp.einsum("bqd,bkd->bqk", q, k,
+                   preferred_element_type=jnp.bfloat16)
+    m = jnp.max(e, -1, keepdims=True).astype(jnp.float32)
+    p = jnp.exp(e.astype(jnp.float32) - m)
+    ref = jnp.einsum("bqk,bkc->bqc",
+                     (p / jnp.sum(p, -1, keepdims=True)).astype(v.dtype), v)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=1e-2)
+
+    grads = jax.grad(lambda q, k, v: jnp.sum(_chunked_attention(
+        q, k, v, 16).astype(jnp.float32)), argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
