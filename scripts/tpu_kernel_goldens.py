@@ -71,14 +71,72 @@ def main():
         gg = jax.jit(jax.grad(gnorm))(x, w)
         rr = jax.jit(jax.grad(gnorm_ref))(x, w)
         s2 = float(jnp.max(jnp.abs(rr.astype(jnp.float32)))) + 1e-6
-        check(f"slam_gog_{dtype.__name__}", gg / s2, rr / s2, tol * 8)
+        # Since this environment's jax regressed pallas_call's built-in JVP
+        # (it asserts), the grad-of-grad tangent rides the jnp reference
+        # while the primal/cotangent stay the Pallas kernel
+        # (slam._fwd_pallas_jvpsafe): the kernel's ~3e-6 forward deviation
+        # enters the cotangent and the second-order chain amplifies it, so
+        # this check is looser than when the tangent was the kernel's own
+        # (round-2: 8e-5).  The DEFAULT conv path's grad-of-grad remains
+        # tight (tests/test_pallas_ops.py vs autodiff).
+        check(f"slam_gog_{dtype.__name__}", gg / s2, rr / s2,
+              max(tol * 8, 5e-3))
 
     # fused avg+max global pool (f32 path)
     x = jax.random.normal(key, (16, 54, 54, 64), jnp.float32)
     avg, mx = jax.jit(fused_avg_max_pool)(x)
     check("pool_avg", avg, jnp.mean(x, axis=(1, 2)), 1e-5)
     check("pool_max", mx, jnp.max(x, axis=(1, 2)), 0.0)
+    rab_tail_goldens()
     print(json.dumps({"kernel_goldens": "ok"}), flush=True)
+
+
+
+
+def rab_tail_goldens():
+    """Fused RAB-tail megakernel vs the jnp reference, on device."""
+    import jax
+    import jax.numpy as jnp
+    from sradsgan_tpu.ops.pallas import rab_tail
+
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 8)
+    # f32 tolerance reflects matmul OPERAND precision, not math: the jnp
+    # reference's fuse conv runs at XLA DEFAULT precision (bf16 operands,
+    # f32 accumulate) while the kernel makes the same rounding explicitly —
+    # reduction orders differ at the bf16-rounding scale.  Exact-math
+    # equivalence is proven on CPU (tests/test_pallas_ops.py).
+    for dtype, tol in ((jnp.float32, 5e-3), (jnp.bfloat16, 2e-2)):
+        c, hidden = 64, 4
+        t = jax.random.normal(ks[0], (4, 54, 54, c), jnp.float32).astype(dtype)
+        xr = jax.random.normal(ks[1], (4, 54, 54, c), jnp.float32).astype(dtype)
+        w1 = jax.random.normal(ks[2], (c, hidden)) * 0.3
+        w2 = jax.random.normal(ks[3], (hidden, c)) * 0.3
+        slam_w = jax.random.normal(ks[4], (7, 7, 2, 1)) * 0.1
+        fuse_w = jax.random.normal(ks[5], (c, c)) * 0.05
+        fuse_b = jax.random.normal(ks[6], (c,)) * 0.1
+        args = (t, xr, w1, w2, slam_w, fuse_w, fuse_b)
+
+        out = jax.jit(rab_tail.fused_rab_tail)(*args)
+        ref = jax.jit(lambda *a: rab_tail._forward_jnp(*a)[0])(*args)
+        scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) + 1e-6
+        check(f"rab_tail_fwd_{dtype.__name__}",
+              out.astype(jnp.float32) / scale,
+              ref.astype(jnp.float32) / scale, tol)
+
+        def loss_fused(*a):
+            return jnp.sum(rab_tail.fused_rab_tail(*a).astype(jnp.float32) ** 2)
+
+        def loss_ref(*a):
+            return jnp.sum(rab_tail._forward_jnp(*a)[0].astype(jnp.float32) ** 2)
+
+        gf = jax.jit(jax.grad(loss_fused, argnums=tuple(range(7))))(*args)
+        gr = jax.jit(jax.grad(loss_ref, argnums=tuple(range(7))))(*args)
+        for i, (a, b) in enumerate(zip(gf, gr)):
+            s = float(jnp.max(jnp.abs(b.astype(jnp.float32)))) + 1e-6
+            check(f"rab_tail_g{i}_{dtype.__name__}",
+                  a.astype(jnp.float32) / s, b.astype(jnp.float32) / s,
+                  tol * 8)
 
 
 if __name__ == "__main__":

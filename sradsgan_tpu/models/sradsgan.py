@@ -25,7 +25,8 @@ from typing import Any, Optional
 
 from flax import linen as nn
 
-from sradsgan_tpu.nn.attention import GlobalAttention, LocalAttention
+from sradsgan_tpu.nn.attention import (FusedCASATail, GlobalAttention,
+                                       LocalAttention, use_fused_rab_tail)
 from sradsgan_tpu.nn.blocks import ConvBlock, default_kernel_init, UpsampleHead
 
 import jax.numpy as jnp
@@ -74,6 +75,10 @@ class RAB(nn.Module):
         out = nn.leaky_relu(out, 0.2)
         out = nn.Conv(f, (3, 3), padding="SAME",
                       kernel_init=default_kernel_init, dtype=self.dtype)(out)
+        if use_fused_rab_tail(self.la_mode, self.pool_mode, self.add_conv):
+            # Pallas megakernel: CLAM+SLAM+fuse+residual in one VMEM pass
+            # (param tree identical to the unfused formulation)
+            return FusedCASATail(name="LocalAttention_0")(out, x)
         out = LocalAttention(self.la_mode, self.pool_mode, self.add_conv,
                              dtype=self.dtype)(out)
         return out + x
@@ -97,6 +102,8 @@ class ResGroup(nn.Module):
             out = RAB(self.features, la_mode=self.bla_mode,
                       pool_mode=self.pool_mode, add_conv=self.add_conv,
                       dtype=self.dtype)(out)
+        if use_fused_rab_tail(self.rla_mode, self.pool_mode, self.add_conv):
+            return FusedCASATail(name="LocalAttention_0")(out, x)
         out = LocalAttention(self.rla_mode, self.pool_mode, self.add_conv,
                              dtype=self.dtype)(out)
         return out + x

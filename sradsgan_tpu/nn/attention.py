@@ -79,6 +79,87 @@ class _GateKernel(nn.Module):
                            self.in_feats, 1))
 
 
+class _DenseKernel(nn.Module):
+    """Bare Dense-kernel param holder (named for checkpoint compatibility
+    with the ``nn.Dense`` formulation)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", default_kernel_init, self.shape)
+
+
+class _CGParams(nn.Module):
+    """ChannelGate's param tree (Dense_0/Dense_1 kernels) without its ops."""
+
+    c: int
+    ratio: int = 16
+
+    @nn.compact
+    def __call__(self):
+        hidden = max(self.c // self.ratio, 1)
+        w1 = _DenseKernel((self.c, hidden), name="Dense_0")()
+        w2 = _DenseKernel((hidden, self.c), name="Dense_1")()
+        return w1, w2
+
+
+class _SGParams(nn.Module):
+    """SpatialGate's param tree (Conv_0 kernel) without its ops."""
+
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self):
+        return _GateKernel(self.kernel_size, 2, name="Conv_0")()
+
+
+class _Conv1x1Params(nn.Module):
+    """1x1-conv param holder (Conv_0 kernel+bias names)."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", default_kernel_init,
+                       (1, 1, self.c, self.c))
+        b = self.param("bias", nn.initializers.zeros, (self.c,))
+        return k, b
+
+
+class FusedCASATail(nn.Module):
+    """The fused 'CA-SA' + 1x1 fuse + residual tail (Pallas megakernel).
+
+    Parameter tree is IDENTICAL to ``LocalAttention(mode='CA-SA',
+    add_conv=True)`` (ChannelGate_0/Dense_{0,1}, SpatialGate_0/Conv_0,
+    Conv_0) so checkpoints swap freely between the fused and unfused
+    formulations.  Instantiate with ``name='LocalAttention_0'`` from
+    RAB/ResGroup.  Gate math runs float32 (the unfused bf16 path computes
+    the CLAM MLP in bf16 — the fused op is slightly MORE precise there).
+    """
+
+    ratio: int = 16
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self, t, x_res):
+        c = t.shape[-1]
+        w1, w2 = _CGParams(c, self.ratio, name="ChannelGate_0")()
+        slam_k = _SGParams(self.kernel_size, name="SpatialGate_0")()
+        fuse_k, fuse_b = _Conv1x1Params(c, name="Conv_0")()
+        from sradsgan_tpu.ops.pallas.rab_tail import fused_rab_tail
+        return fused_rab_tail(t, x_res, w1, w2, slam_k, fuse_k[0, 0],
+                              fuse_b)
+
+
+def use_fused_rab_tail(mode: str, pool_mode: str, add_conv: bool) -> bool:
+    """Trace-time knob: SRADSGAN_TPU_RAB_TAIL=fused enables the megakernel
+    for the exact composition it implements."""
+    import os
+    return (os.environ.get("SRADSGAN_TPU_RAB_TAIL", "") == "fused"
+            and mode == "CA-SA" and pool_mode == "Avg|Max" and add_conv)
+
+
 class SpatialGate(nn.Module):
     """sigmoid(conv7x7([mean_c; max_c])) * x, no bias.
 

@@ -213,6 +213,26 @@ def _bwd_pallas(x: jnp.ndarray, g: jnp.ndarray, w: jnp.ndarray):
     )(x, g, w2)
 
 
+@jax.custom_jvp
+def _fwd_pallas_jvpsafe(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Pallas forward with a JVP rule riding the jnp reference.
+
+    Second-order AD (the WGAN-GP grad-of-grad) JVP-traces the custom-vjp
+    forward; this environment's jax asserts inside pallas_call's built-in
+    JVP rule (a regression — round 2 verified grad-of-grad through the
+    raw kernel), so the tangent is computed from the mathematically
+    identical ``_gate_reference`` while the primal stays the fused kernel.
+    """
+    return _fwd_pallas(x, w)
+
+
+@_fwd_pallas_jvpsafe.defjvp
+def _fwd_pallas_jvp(primals, tangents):
+    out = _fwd_pallas(*primals)
+    _, tangent = jax.jvp(_gate_reference, primals, tangents)
+    return out, tangent
+
+
 def _impl() -> str:
     import os
     return os.environ.get("SRADSGAN_TPU_SLAM_IMPL", "conv")
@@ -384,7 +404,7 @@ def fused_spatial_gate(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     taps / pallas.
     """
     if _pallas_ok(x):
-        return _fwd_pallas(x, w)
+        return _fwd_pallas_jvpsafe(x, w)
     if _impl() == "conv":
         return _gate_conv_reference(x, w)
     return _gate_reference(x, w)
@@ -410,7 +430,7 @@ def _fwd_with_stats(x, w):
 
 def _vjp_fwd(x, w):
     if _pallas_ok(x):
-        return _fwd_pallas(x, w), (x, w, None, None, None)
+        return _fwd_pallas_jvpsafe(x, w), (x, w, None, None, None)
     out, gate, mean, mx = _fwd_with_stats(x, w)
     return out, (x, w, gate, mean, mx)
 

@@ -133,3 +133,49 @@ def test_slam_impl_dispatch_equivalence(monkeypatch):
         got = run(impl)
         for r, g in zip(ref, got):
             np.testing.assert_allclose(g, r, atol=2e-4, rtol=2e-4)
+
+
+def test_fused_rab_tail_matches_unfused(monkeypatch):
+    """SRADSGAN_TPU_RAB_TAIL=fused: the megakernel path (jnp fallback off
+    TPU) equals the unfused LocalAttention composition — identical param
+    tree, identical forward, grads to reduction-order noise — with a LIVE
+    CLAM hidden unit so the MLP backward is actually exercised."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from sradsgan_tpu.models.sradsgan import RAB
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 12, 12, 16)).astype(np.float32))
+    rab = RAB(features=16)
+    params = rab.init(jax.random.PRNGKey(0), x)
+    la = params["params"]["LocalAttention_0"]["ChannelGate_0"]
+    la["Dense_0"]["kernel"] = jnp.abs(la["Dense_0"]["kernel"]) + 0.05
+    la["Dense_1"]["kernel"] = la["Dense_1"]["kernel"] + 0.1
+
+    def run(p, fused):
+        if fused:
+            monkeypatch.setenv("SRADSGAN_TPU_RAB_TAIL", "fused")
+        else:
+            monkeypatch.delenv("SRADSGAN_TPU_RAB_TAIL", raising=False)
+        return RAB(features=16).apply(p, x)
+
+    base = run(params, False)
+    fused_params = RAB(features=16).init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(fused_params))
+    fused = run(params, True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                               atol=1e-6)
+
+    g_u = jax.grad(lambda p: jnp.sum(run(p, False) ** 2))(params)
+    g_f = jax.grad(lambda p: jnp.sum(run(p, True) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g_u), jax.tree.leaves(g_f)):
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-5)
+    # CLAM MLP grads are alive (the zero-grad dead-unit case would
+    # vacuously pass)
+    assert float(jnp.max(jnp.abs(
+        g_u["params"]["LocalAttention_0"]["ChannelGate_0"]["Dense_0"]
+        ["kernel"]))) > 1e-4
