@@ -16,7 +16,8 @@ import time
 import numpy as np
 
 
-def main(total_steps=3000, val_at=(0, 250, 500, 1000, 2000, 3000)):
+def main(total_steps=3000, val_at=(0, 250, 500, 1000, 2000, 3000),
+         d_bf16=False):
     import jax
 
     from sradsgan_tpu.core.cache import enable_compilation_cache
@@ -27,13 +28,17 @@ def main(total_steps=3000, val_at=(0, 250, 500, 1000, 2000, 3000)):
     from sradsgan_tpu.train.trainer import Trainer
 
     cfg = config_for_model("sradsgan", 4)
+    cfg.d_bf16 = d_bf16
+    print(json.dumps({"config": "sradsgan_x4", "d_bf16": d_bf16,
+                      "steps": total_steps}), flush=True)
     cfg.data.synthetic = True
     cfg.data.synthetic_size = 256
     cfg.data.crop_size = 216
     cfg.data.test_crop_size = 216
     cfg.data.batch_size = 16
     cfg.data.test_batch_size = 4
-    cfg.save_dir = "/tmp/sradsgan_learning"
+    cfg.save_dir = ("/tmp/sradsgan_learning_bf16d" if d_bf16
+                    else "/tmp/sradsgan_learning")
     trainer = Trainer(cfg)
 
     def sweep(step):
@@ -73,4 +78,5 @@ def main(total_steps=3000, val_at=(0, 250, 500, 1000, 2000, 3000)):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 3000)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 3000,
+         d_bf16="bf16d" in sys.argv[2:])

@@ -250,14 +250,40 @@ def _pallas_ok(x: jnp.ndarray) -> bool:
             and bytes_per_slice < _VMEM_LIMIT_BYTES)
 
 
+def _stat_conv(stack: jnp.ndarray, w32: jnp.ndarray) -> jnp.ndarray:
+    """k×k conv over the (B, H, W, 2) stat stack -> (B, H, W) score plane,
+    with the 2 input lanes EXPLICITLY zero-padded to 8.
+
+    The raw 2-lane conv miscompiles on this TPU backend when fused into the
+    full generator graph at small batch: batch 2 and 4 return all-NaN while
+    1/8/16 are clean, the same graph with taps or in f32 is clean, and the
+    conv standalone is clean (round-3 bisection, docs/VALIDATION.md
+    "Found-and-fixed: small-batch stat-conv miscompile") — consistent with
+    the emitter reading uninitialized lane padding for sub-tile shapes.
+    Padding the lanes to a full 8-sublane group with explicit zeros (and
+    zero kernel rows, so the math is unchanged) sidesteps the bad lowering.
+    The guard is batch-conditional at trace time: unconditional padding
+    measured 7.06 vs 7.31 MP/s on the full train step (batch 16), while
+    batch >= 8 is proven clean with the raw conv — so the raw formulation
+    stays for b >= 8 and the padded one covers the small-batch
+    eval/serving (and per-device-sharded training) shapes."""
+    if stack.shape[0] >= 8:
+        return jax.lax.conv_general_dilated(
+            stack, w32, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
+    stack8 = jnp.pad(stack, ((0, 0), (0, 0), (0, 0), (0, 6)))
+    w8 = jnp.pad(w32, ((0, 0), (0, 0), (0, 6), (0, 0)))
+    return jax.lax.conv_general_dilated(
+        stack8, w8, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
+
+
 def _gate_conv_reference(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Forward via lax.conv over the stacked stat planes (NHWC)."""
     x32 = x.astype(jnp.float32)
     mean, mx = _pools(x32)
     stack = jnp.stack([mean, mx], axis=-1)
-    s = jax.lax.conv_general_dilated(
-        stack, w.astype(jnp.float32), window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
+    s = _stat_conv(stack, w.astype(jnp.float32))
     return (jax.nn.sigmoid(s)[..., None] * x32).astype(x.dtype)
 
 
@@ -276,8 +302,20 @@ def _plane_grads(ds, w32):
     ds: (B, H, W) f32; w32: (k, k, 2, 1) f32.
     """
     kern = jnp.flip(w32[:, :, :, 0], axis=(0, 1))[:, :, None, :]  # (k,k,1,2)
+    if ds.shape[0] >= 8:
+        out = jax.lax.conv_general_dilated(
+            ds[..., None], kern, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out[..., 0], out[..., 1]
+    # Small batch: lanes padded 1->8 in / 2->8 out with explicit zeros —
+    # the sub-tile-lane conv miscompiles at batch 2-4 on this backend (see
+    # _stat_conv).  A real multi-chip mesh puts per-device batch at 2-4,
+    # so the sharded training backward needs the guard as much as the
+    # eval forward.
+    kern8 = jnp.pad(kern, ((0, 0), (0, 0), (0, 7), (0, 6)))
+    ds8 = jnp.pad(ds[..., None], ((0, 0), (0, 0), (0, 0), (0, 7)))
     out = jax.lax.conv_general_dilated(
-        ds[..., None], kern, window_strides=(1, 1), padding="SAME",
+        ds8, kern8, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return out[..., 0], out[..., 1]
 
@@ -418,9 +456,7 @@ def _fwd_with_stats(x, w):
     w32 = w.astype(jnp.float32)
     if _impl() == "conv":
         stack = jnp.stack([mean, mx], axis=-1)
-        s = jax.lax.conv_general_dilated(
-            stack, w32, window_strides=(1, 1), padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
+        s = _stat_conv(stack, w32)
     else:
         s = _conv_taps([mean, mx], w32)
     gate = jax.nn.sigmoid(s)

@@ -15,7 +15,7 @@ the deployment surface of the TPU build:
 from __future__ import annotations
 
 import os
-from typing import Dict, Sequence
+from typing import Sequence
 
 import numpy as np
 
@@ -36,13 +36,12 @@ class Predictor:
         self.buckets = sorted(buckets)
         self.tile = tile
         self.halo = halo
-        self._fns: Dict[int, object] = {}
-
-    def _fn_for(self, size: int):
-        if size not in self._fns:
-            self._fns[size] = jax.jit(
-                lambda v, x: self.generator.apply(v, x, train=False))
-        return self._fns[size]
+        # ONE jit'd callable: jax.jit specializes (and caches) per input
+        # shape internally, so bucketing only controls WHICH shapes occur —
+        # a per-bucket dict of identical jit objects would be dead
+        # structure (round-2 advisor finding).
+        self._fn = jax.jit(
+            lambda v, x: self.generator.apply(v, x, train=False))
 
     def __call__(self, lr01: np.ndarray) -> np.ndarray:
         """(B, H, W, C) or (H, W, C) float [0,1] -> SR, any input size.
@@ -65,9 +64,8 @@ class Predictor:
         else:
             padded = np.pad(lr01, ((0, 0), (0, bucket - h), (0, bucket - w),
                                    (0, 0)), mode="reflect")
-            fn = self._fn_for(bucket)
-            out = np.asarray(fn(self.variables, jnp.asarray(padded)).astype(
-                jnp.float32))
+            out = np.asarray(self._fn(
+                self.variables, jnp.asarray(padded)).astype(jnp.float32))
             out = out[:, :h * self.scale, :w * self.scale]
         return out[0] if squeeze else out
 

@@ -88,13 +88,15 @@ class Trainer:
         self.discriminator = None
         self.d_apply = None
         if self.spec.adversarial:
-            # The discriminator defaults to float32 convs: WGAN weight
-            # clipping collapses its BatchNorm scales to +-clip_value and
-            # round 1's all-bf16 D went NaN within ~50 steps
-            # (docs/VALIDATION.md).  With nn/norm.py's BatchNorm the
-            # normalization chain is f32 regardless, so cfg.d_bf16 enables
-            # bf16 convs once a stability run has blessed the combination.
-            d_dtype = jnp.bfloat16 if cfg.d_bf16 else None
+            # bf16 discriminator convs (f32 BatchNorm chain regardless —
+            # nn/norm.py).  Round 2 recorded bf16-D divergence and pinned
+            # the D to f32; the round-3 retest AFTER the fused-pool
+            # tie-count VJP fix runs 600 steps finite and tracks the f32
+            # loss trajectory to ~1e-4 at 87.1 vs 99.4 ms/step
+            # (docs/VALIDATION.md "Round-3 retest").  cfg.d_bf16 gates it
+            # and only takes effect when the model computes bf16 overall,
+            # so f32 runs (parity oracles) keep an f32 D.
+            d_dtype = jnp.bfloat16 if (cfg.d_bf16 and cfg.bf16) else None
             self.discriminator = self.spec.discriminator(dtype=d_dtype)
             self.d_apply = _apply_factory(self.discriminator)
 

@@ -49,6 +49,32 @@ def test_fused_spatial_gate_matches_conv_formulation():
     np.testing.assert_allclose(ours, ref, atol=2e-6)
 
 
+def test_stat_conv_lane_padding_identity():
+    """The lane-padded stat conv (_stat_conv) must equal the raw 2-lane
+    conv at every batch size the round-3 miscompile matrix exercised.
+
+    The padding exists because the raw conv miscompiles ON TPU at batch
+    2/4 when fused into the full generator graph (docs/VALIDATION.md
+    round-3 found-and-fixed); CPU can only lock the math identity, and
+    the hardware goldens (scripts/tpu_kernel_goldens.py) plus the eval
+    sweep cover the device behavior."""
+    from sradsgan_tpu.ops.pallas.slam import _gate_conv_reference, \
+        _gate_reference, _bwd_jnp
+    w = jax.random.normal(jax.random.PRNGKey(5), (7, 7, 2, 1)) * 0.05
+    for b in (1, 2, 4, 16):
+        x = jax.random.uniform(jax.random.PRNGKey(b), (b, 11, 13, 16))
+        np.testing.assert_allclose(np.asarray(_gate_conv_reference(x, w)),
+                                   np.asarray(_gate_reference(x, w)),
+                                   atol=2e-6)
+        g = jax.random.normal(jax.random.PRNGKey(b + 50), x.shape)
+        dx1, dw1 = _bwd_jnp(x, w, g)
+        dx2, dw2 = jax.vjp(_gate_reference, x, w)[1](g)
+        np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2),
+                                   atol=5e-6)
+        np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2),
+                                   atol=2e-4)
+
+
 def test_fused_spatial_gate_grads_match_autodiff():
     """The custom VJP (incl. tie-split max backward and the dw contraction)
     must equal plain autodiff of the same math."""
