@@ -95,9 +95,14 @@ class TrainConfig:
     steps_per_call: int = 1
     # bfloat16 discriminator convs (BatchNorm always computes in f32
     # internally — nn/norm.py).  Round-1's bf16-D divergence traced to the
-    # flax BN bf16 backward; with f32 norm internals the bf16 D passes the
-    # 600-step stability run (docs/PERF.md).
-    d_bf16: bool = False
+    # flax BN bf16 backward; the round-3 retest (after the pool-VJP tie fix)
+    # passes the 600-step stability run AND a 3000-step learning run that
+    # tracks the f32-D quality curve checkpoint-for-checkpoint while both
+    # beat the bicubic twin (docs/VALIDATION.md round-3 tables), at 87.1 vs
+    # 99.4 ms/step — so bf16 D convs are the default.  Takes effect only
+    # when cfg.bf16 is also on (train/trainer.py), so f32 parity oracles
+    # keep an f32 D.
+    d_bf16: bool = True
     # Data-parallel mesh size (number of devices; -1 = all local devices).
     num_devices: int = -1
     # Extra generator constructor kwargs (e.g. smaller test networks).
