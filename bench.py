@@ -44,32 +44,41 @@ def main():
         "hr": rng.random((16, 216, 216, 3)).astype(np.float32),
         "bc": rng.random((16, 216, 216, 3)).astype(np.float32),
     }, trainer.mesh)
-    key = jax.random.PRNGKey(0)
+    steps = 100
+    warmup = 2
+    # Pre-split and pre-transfer the per-step PRNG keys so the loop body is
+    # exactly one dispatch per train step (a jax.random.split per step is
+    # its own tiny device program; measured neutral through this relay but
+    # pointless work inside a timed window).
+    keys = [jax.device_put(k) for k in
+            np.asarray(jax.random.split(jax.random.PRNGKey(0),
+                                         steps + warmup))]
 
     state = trainer.state
     # warmup / compile — must END with a host fetch: block_until_ready can
     # return early through this environment's device relay, letting compile
     # tail leak into the timed window (CLAUDE.md timing rule)
-    for _ in range(2):
-        key, k = jax.random.split(key)
-        state, metrics = trainer._jit_step(state, batch, k)
+    for i in range(warmup):
+        state, metrics = trainer._jit_step(state, batch, keys[i])
     float(metrics["loss_G"])
 
-    steps = 30
     t0 = time.perf_counter()
-    for _ in range(steps):
-        key, k = jax.random.split(key)
-        state, metrics = trainer._jit_step(state, batch, k)
-    # Host-fetch the last step's losses INSIDE the timed region: through
-    # this environment's remote-device relay, block_until_ready can return
-    # before execution finishes (scripts/timing_probe.py measured a matmul
-    # chain at an impossible 44 PFLOP/s with block-only timing); a
-    # device->host value transfer is the only hard synchronization.  The
-    # steps chain through the donated train state, so fetching the final
-    # metrics bounds the whole sequence.
-    final = {k: float(v) for k, v in metrics.items()}
+    for i in range(steps):
+        state, metrics = trainer._jit_step(state, batch, keys[warmup + i])
+    # Host-fetch ONE scalar of the last step INSIDE the timed region:
+    # through this environment's remote-device relay, block_until_ready can
+    # return early (scripts/timing_probe.py measured a matmul chain at an
+    # impossible 44 PFLOP/s with block-only timing); a device->host value
+    # transfer is the only hard synchronization.  The steps chain through
+    # the donated train state, so one value bounds the whole sequence.
+    # Exactly one: each float() is a sequential relay round-trip, and
+    # fetching all 5 metrics here cost 4.7 ms/step amortized over a 30-step
+    # window (91.7 vs 87.0 ms/step, /tmp probe, round 3).
+    loss_g = float(metrics["loss_G"])
     dt = time.perf_counter() - t0
-    assert all(np.isfinite(v) for v in final.values()), (
+    final = {k: float(v) for k, v in metrics.items()}  # outside the window
+    assert np.isfinite(loss_g) and all(
+        np.isfinite(v) for v in final.values()), (
         f"non-finite training metrics in benchmark: {final}")
 
     n_chips = trainer.mesh.devices.size

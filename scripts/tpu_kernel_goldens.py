@@ -88,7 +88,47 @@ def main():
     check("pool_avg", avg, jnp.mean(x, axis=(1, 2)), 1e-5)
     check("pool_max", mx, jnp.max(x, axis=(1, 2)), 0.0)
     rab_tail_goldens()
+    flash_sgam_goldens()
     print(json.dumps({"kernel_goldens": "ok"}), flush=True)
+
+
+def flash_sgam_goldens():
+    """Flash SGAM (TPU flash-attention kernel + pad/mask wrapper) vs the
+    exact f32 softmax, incl. dq/dk/dv, at the flagship's N=2916."""
+    from sradsgan_tpu.ops.sgam_flash import flash_position_attention
+
+    def exact(q, k, v):
+        e = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32),
+                       k.astype(jnp.float32))
+        a = jax.nn.softmax(e, axis=-1)
+        return jnp.einsum("bqk,bkc->bqc", a, v.astype(jnp.float32))
+
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(key, 3)
+    for dtype, tol in ((jnp.float32, 2e-5), (jnp.bfloat16, 2e-2)):
+        q = jax.random.normal(kq, (2, 2916, 8), dtype)
+        k = jax.random.normal(kk, (2, 2916, 8), dtype)
+        v = jax.random.normal(kv, (2, 2916, 64), dtype)
+        ref = jax.jit(exact)(q, k, v)
+        out = jax.jit(flash_position_attention)(q, k, v)
+        s = float(jnp.max(jnp.abs(ref))) + 1e-6
+        check(f"flash_sgam_fwd_{dtype.__name__}",
+              out.astype(jnp.float32) / s, ref / s, tol)
+
+        def loss_f(q, k, v):
+            return jnp.sum(flash_position_attention(q, k, v)
+                           .astype(jnp.float32) ** 2)
+
+        def loss_e(q, k, v):
+            return jnp.sum(exact(q, k, v) ** 2)
+
+        gf = jax.jit(jax.grad(loss_f, argnums=(0, 1, 2)))(q, k, v)
+        ge = jax.jit(jax.grad(loss_e, argnums=(0, 1, 2)))(q, k, v)
+        for name, a, b in zip(("dq", "dk", "dv"), gf, ge):
+            s = float(jnp.max(jnp.abs(b.astype(jnp.float32)))) + 1e-6
+            check(f"flash_sgam_{name}_{dtype.__name__}",
+                  a.astype(jnp.float32) / s, b.astype(jnp.float32) / s,
+                  tol * 4)
 
 
 

@@ -234,7 +234,23 @@ class SpatialSelfAttention(nn.Module):
         impl = os.environ.get("SRADSGAN_TPU_SGAM_IMPL", "")
         if os.environ.get("SRADSGAN_TPU_SGAM_F32", "") == "1":
             impl = "f32"  # back-compat knob
-        if x.dtype == jnp.bfloat16 and impl == "chunked":
+        if impl == "" and x.dtype == jnp.bfloat16:
+            # bf16 default on TPU: the flash kernel — faster than the dense
+            # bf16-energy path (full flagship step 87.4 -> 85.0 ms) AND
+            # closer to the exact-f32 softmax (f32 running row statistics,
+            # golden-checked on device at N=2916; docs/PERF.md round 3).
+            # SRADSGAN_TPU_SGAM_IMPL=dense restores the bf16-energy path.
+            from sradsgan_tpu.ops.sgam_flash import is_available
+            if is_available():
+                impl = "flash"
+        if impl == "flash":
+            from sradsgan_tpu.ops.sgam_flash import (
+                flash_position_attention, is_available)
+            if not is_available():
+                raise RuntimeError(
+                    "SRADSGAN_TPU_SGAM_IMPL=flash needs a TPU backend")
+            out = flash_position_attention(q, k, v).reshape(b, h, w, c)
+        elif x.dtype == jnp.bfloat16 and impl == "chunked":
             out = _chunked_attention(q, k, v).reshape(b, h, w, c)
         elif x.dtype == jnp.bfloat16 and impl != "f32":
             # The (B, HW, HW) energy is the op's HBM cost (544 MB in f32 at

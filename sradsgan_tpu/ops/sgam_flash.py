@@ -1,0 +1,86 @@
+"""Flash formulation of the global position attention (SGAM / PAM).
+
+The reference SGAM (model/sradsgan.py:153-176) computes
+``out = softmax(q k^T) v`` over all HW positions with NO 1/sqrt(d)
+scale.  At the flagship's 54^2 trunk that energy is (B, 2916, 2916) —
+272 MB in bf16, 544 MB for the f32 softmax intermediate — and the XLA
+formulations are bandwidth-bound on materializing it (docs/PERF.md
+"SGAM bf16 energy").  FLOPs are trivial (~20 GFLOP), so a flash kernel
+that keeps only running row statistics should collapse the op to its
+input/output traffic.
+
+This wraps the TPU Pallas flash-attention kernel from
+``jax.experimental.pallas.ops.tpu.flash_attention`` (f32 running max/sum,
+custom VJP for dq/dk/dv):
+
+- positions are padded to the kernel's 128-aligned tiles; padded KEY
+  positions get a different segment id so they receive exactly zero
+  softmax weight (the real rows' distribution is unchanged — this is
+  masking, not approximation);
+- q/k (inner dim C//8 = 8) are zero-padded to v's head dim: zero columns
+  add nothing to q.k^T, so the energy is bit-identical;
+- ``sm_scale=1.0`` preserves the reference's unscaled softmax.
+
+The result is numerically the flash re-association of the same softmax
+(f32 statistics), matching the exact-f32 path to bf16 resolution.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_TPU_PLATFORMS = ("tpu", "axon")
+
+
+def is_available() -> bool:
+    """True when the TPU flash kernel can run (trace-time gate)."""
+    try:
+        if jax.default_backend() not in _TPU_PLATFORMS:
+            return False
+        from jax.experimental.pallas.ops.tpu import flash_attention  # noqa
+        return True
+    except Exception:
+        return False
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def flash_position_attention(q: jnp.ndarray, k: jnp.ndarray,
+                             v: jnp.ndarray) -> jnp.ndarray:
+    """softmax(q k^T) v without materializing the (B, N, N) energy.
+
+    q, k: (B, N, d_qk); v: (B, N, d_v).  Returns (B, N, d_v) in v.dtype.
+    Unscaled softmax over key positions (reference SGAM semantics).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    b, n, d_qk = q.shape
+    d_v = v.shape[-1]
+    d = max(d_qk, d_v)
+    if d > 128:  # "should be a multiple of 128 if larger" (kernel rule)
+        d = _ceil_to(d, 128)
+    # blocks must be 128-multiples AND divide the padded length
+    block = 512 if n > 512 else _ceil_to(n, 128)
+    n_pad = _ceil_to(n, block)
+
+    def pad(x, dim):
+        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, d - dim)))
+
+    qp = pad(q, d_qk)[:, None]          # (B, 1 head, Np, d)
+    kp = pad(k, d_qk)[:, None]
+    vp = pad(v, d_v)[:, None]
+    ids = jnp.concatenate([jnp.ones((b, n), jnp.int32),
+                           jnp.zeros((b, n_pad - n), jnp.int32)], axis=1)
+    sizes = BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+        block_q_major_dkv=block, block_k_major_dkv=block,
+        block_k_dkv=block, block_q_dkv=block,
+        block_k_major_dq=block, block_k_dq=block, block_q_dq=block)
+    out = flash_attention(qp, kp, vp,
+                          segment_ids=SegmentIds(q=ids, kv=ids),
+                          causal=False, sm_scale=1.0, block_sizes=sizes)
+    return out[:, 0, :n, :d_v].astype(v.dtype)

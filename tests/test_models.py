@@ -135,3 +135,42 @@ def test_chunked_sgam_matches_dense_path(monkeypatch):
         q, k, v, 16).astype(jnp.float32)), argnums=(0, 1, 2))(q, k, v)
     for g in grads:
         assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
+
+
+def test_flash_sgam_on_tpu_matches_exact_softmax():
+    """SRADSGAN_TPU_SGAM_IMPL=flash: the TPU flash-attention wrapper
+    (pad-to-tile + segment-id masking, ops/sgam_flash.py) equals the exact
+    f32 softmax attention incl. dq/dk/dv.  Device-only — the Pallas kernel
+    has no CPU lowering; scripts/tpu_kernel_goldens.py runs the same check
+    at the flagship's N=2916 on hardware."""
+    import jax
+    import jax.numpy as jnp
+    from sradsgan_tpu.ops.sgam_flash import (flash_position_attention,
+                                             is_available)
+    if not is_available():
+        import pytest
+        pytest.skip("TPU flash-attention kernel needs a TPU backend")
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(2, 300, 8)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(2, 300, 8)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(2, 300, 64)), jnp.bfloat16)
+
+    def exact(q, k, v):
+        e = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32),
+                       k.astype(jnp.float32))
+        a = jax.nn.softmax(e, axis=-1)
+        return jnp.einsum("bqk,bkc->bqc", a, v.astype(jnp.float32))
+
+    ref = np.asarray(exact(q, k, v))
+    out = np.asarray(flash_position_attention(q, k, v), np.float32)
+    np.testing.assert_allclose(out, ref, atol=2e-2 * np.abs(ref).max())
+
+    gf = jax.grad(lambda *a: jnp.sum(
+        flash_position_attention(*a).astype(jnp.float32) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    ge = jax.grad(lambda *a: jnp.sum(exact(*a) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, ge):
+        a = np.asarray(a, np.float32); b = np.asarray(b, np.float32)
+        np.testing.assert_allclose(a, b, atol=4e-2 * np.abs(b).max())
