@@ -12,7 +12,7 @@ import time
 import numpy as np
 
 
-def bench_model(name, steps=20):
+def bench_model(name, steps=50):
     import jax
 
     from sradsgan_tpu.core.config import config_for_model
@@ -31,18 +31,22 @@ def bench_model(name, steps=20):
         "hr": rng.random((16, 216, 216, 3)).astype(np.float32),
         "bc": rng.random((16, 216, 216, 3)).astype(np.float32),
     }, trainer.mesh)
-    key = jax.random.PRNGKey(0)
+    # Pre-split keys; close the timed window with ONE scalar fetch (each
+    # float() is a sequential relay round-trip — fetching all metrics
+    # inside the window cost bench.py 4.7 ms/step over 30 steps, worse
+    # over 20; docs/PERF.md "timing-window fix").
+    keys = [jax.device_put(k) for k in
+            np.asarray(jax.random.split(jax.random.PRNGKey(0), steps + 2))]
     state = trainer.state
-    for _ in range(2):
-        key, k = jax.random.split(key)
-        state, metrics = trainer._jit_step(state, batch, k)
+    for i in range(2):
+        state, metrics = trainer._jit_step(state, batch, keys[i])
     float(metrics["loss_G"])  # fetch closes warmup/compile
     t0 = time.perf_counter()
-    for _ in range(steps):
-        key, k = jax.random.split(key)
-        state, metrics = trainer._jit_step(state, batch, k)
-    final = {k: float(v) for k, v in metrics.items()}
+    for i in range(steps):
+        state, metrics = trainer._jit_step(state, batch, keys[2 + i])
+    float(metrics["loss_G"])  # hard sync
     dt = (time.perf_counter() - t0) / steps
+    final = {k: float(v) for k, v in metrics.items()}  # outside the window
     assert all(np.isfinite(v) for v in final.values()), (name, final)
     print(json.dumps({"model": name, "ms_per_step": round(dt * 1e3, 1),
                       "mps": round(16 * 216 * 216 / 1e6 / dt, 2),

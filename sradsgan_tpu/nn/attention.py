@@ -234,12 +234,17 @@ class SpatialSelfAttention(nn.Module):
         impl = os.environ.get("SRADSGAN_TPU_SGAM_IMPL", "")
         if os.environ.get("SRADSGAN_TPU_SGAM_F32", "") == "1":
             impl = "f32"  # back-compat knob
-        if impl == "" and x.dtype == jnp.bfloat16:
-            # bf16 default on TPU: the flash kernel — faster than the dense
-            # bf16-energy path (full flagship step 87.4 -> 85.0 ms) AND
-            # closer to the exact-f32 softmax (f32 running row statistics,
+        if impl == "" and x.dtype == jnp.bfloat16 and h * w >= 2048:
+            # bf16 default on TPU at large position counts: the flash
+            # kernel — faster than the dense bf16-energy path (full
+            # flagship x4 step 87.4 -> 85.0 ms at N=54^2) AND closer to
+            # the exact-f32 softmax (f32 running row statistics,
             # golden-checked on device at N=2916; docs/PERF.md round 3).
-            # SRADSGAN_TPU_SGAM_IMPL=dense restores the bf16-energy path.
+            # Below ~2048 positions the (B, N, N) energy is only a few MB
+            # and the kernel's pad-to-tile waste (e.g. 729 -> 1024 at the
+            # x8 config's 27^2 trunk) outweighs the traffic it saves, so
+            # the dense path stays.  SRADSGAN_TPU_SGAM_IMPL=dense restores
+            # the bf16-energy path everywhere; =flash forces the kernel.
             from sradsgan_tpu.ops.sgam_flash import is_available
             if is_available():
                 impl = "flash"

@@ -176,10 +176,17 @@ class Trainer:
         loss += cfg.gan.weight_pixel * p_loss
         aux["pixel"] = p_loss
         if self.vgg is not None and cfg.gan.weight_content > 0:
-            feat_sr = self.vgg.apply({"params": self.vgg_params}, sr)
-            feat_hr = jax.lax.stop_gradient(
-                self.vgg.apply({"params": self.vgg_params}, hr_img))
-            c_loss = pixel_loss(feat_sr, feat_hr, spec.pixel_loss)
+            # One batch-2B VGG forward instead of two batch-B forwards:
+            # XLA compiles two separate conv chains otherwise, doubling
+            # per-layer dispatch/fusion boundaries.  The HR half carries no
+            # gradient (stop_gradient), matching the reference's detached
+            # target features (model/sradsgan.py:836-838).
+            feats = self.vgg.apply(
+                {"params": self.vgg_params},
+                jnp.concatenate([sr, jax.lax.stop_gradient(hr_img)], axis=0))
+            feat_sr, feat_hr = jnp.split(feats, 2, axis=0)
+            c_loss = pixel_loss(feat_sr, jax.lax.stop_gradient(feat_hr),
+                                spec.pixel_loss)
             loss += cfg.gan.weight_content * c_loss
             aux["content"] = c_loss
         return loss
