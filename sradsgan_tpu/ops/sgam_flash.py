@@ -48,16 +48,18 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def flash_position_attention(q: jnp.ndarray, k: jnp.ndarray,
-                             v: jnp.ndarray) -> jnp.ndarray:
-    """softmax(q k^T) v without materializing the (B, N, N) energy.
+def pad_for_kernel(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
+    """Pad (B, N, d) q/k/v to the kernel's tile constraints.
 
-    q, k: (B, N, d_qk); v: (B, N, d_v).  Returns (B, N, d_v) in v.dtype.
-    Unscaled softmax over key positions (reference SGAM semantics).
+    Returns ``(qp, kp, vp, ids, block)`` with qp/kp/vp of shape
+    (B, 1 head, Np, d) and ``ids`` (B, Np) segment ids (1 = real position,
+    0 = padding).  Exactness: zero columns added to q/k contribute nothing
+    to q.k^T, and padded key positions sit in a different segment so they
+    get exactly zero softmax weight; padded QUERY rows attend only among
+    themselves (same pad segment), so they are well-defined garbage that
+    the caller slices off.  Factored out so the mask/pad logic is testable
+    on CPU against the flash module's jnp reference (tests/test_models.py).
     """
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes, SegmentIds, flash_attention)
-
     b, n, d_qk = q.shape
     d_v = v.shape[-1]
     d = max(d_qk, d_v)
@@ -75,6 +77,21 @@ def flash_position_attention(q: jnp.ndarray, k: jnp.ndarray,
     vp = pad(v, d_v)[:, None]
     ids = jnp.concatenate([jnp.ones((b, n), jnp.int32),
                            jnp.zeros((b, n_pad - n), jnp.int32)], axis=1)
+    return qp, kp, vp, ids, block
+
+
+def flash_position_attention(q: jnp.ndarray, k: jnp.ndarray,
+                             v: jnp.ndarray) -> jnp.ndarray:
+    """softmax(q k^T) v without materializing the (B, N, N) energy.
+
+    q, k: (B, N, d_qk); v: (B, N, d_v).  Returns (B, N, d_v) in v.dtype.
+    Unscaled softmax over key positions (reference SGAM semantics).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    n, d_v = q.shape[1], v.shape[-1]
+    qp, kp, vp, ids, block = pad_for_kernel(q, k, v)
     sizes = BlockSizes(
         block_q=block, block_k_major=block, block_k=block, block_b=1,
         block_q_major_dkv=block, block_k_major_dkv=block,

@@ -174,3 +174,32 @@ def test_flash_sgam_on_tpu_matches_exact_softmax():
     for a, b in zip(gf, ge):
         a = np.asarray(a, np.float32); b = np.asarray(b, np.float32)
         np.testing.assert_allclose(a, b, atol=4e-2 * np.abs(b).max())
+
+
+def test_flash_sgam_pad_mask_logic_on_cpu():
+    """The pad/mask wrapper feeding the TPU flash kernel is exact: running
+    the flash module's own jnp reference (mha_reference) over the padded
+    inputs + segment ids reproduces the exact unscaled softmax attention
+    on the unpadded shapes.  CPU-runnable — covers the wrapper logic the
+    device golden (scripts/tpu_kernel_goldens.py) exercises end-to-end."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, mha_reference)
+    from sradsgan_tpu.ops.sgam_flash import pad_for_kernel
+
+    rng = np.random.default_rng(11)
+    for n in (300, 640):  # pad 300->384; 640 -> block 512, pad 1024
+        q = jnp.asarray(rng.normal(size=(2, n, 8)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(2, n, 8)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(2, n, 64)), jnp.float32)
+        qp, kp, vp, ids, block = pad_for_kernel(q, k, v)
+        assert qp.shape[2] % block == 0 and block % 128 == 0
+        out = mha_reference(qp, kp, vp, None,
+                            segment_ids=SegmentIds(q=ids, kv=ids),
+                            causal=False, sm_scale=1.0)[:, 0, :n, :64]
+
+        e = jnp.einsum("bqd,bkd->bqk", q, k)
+        ref = jnp.einsum("bqk,bkc->bqc", jax.nn.softmax(e, axis=-1), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
