@@ -44,10 +44,19 @@ def main(total_steps=3000, val_at=(0, 500, 1500, 3000)):
               flush=True)
         return val
 
-    sweep(0)
+    # Resume from the last sweep's checkpoint if one exists — the device
+    # relay has wedged mid-run before (docs/VALIDATION.md round 3); resume
+    # means a killed run costs at most one epoch-aligned segment.
+    import os
+    ckpt = os.path.join(trainer.save_dir, "gdp_ckpt_latest")
+    if os.path.exists(ckpt):  # orbax writes a directory at this path
+        trainer.load_checkpoint(ckpt)
+        print(json.dumps({"resumed_at": trainer.step}), flush=True)
+    else:
+        sweep(0)
     ds = build_train_dataset(data_cfg, trainer.scale)
-    rng = jax.random.PRNGKey(1)
-    step = 0
+    rng = jax.random.PRNGKey(1 + trainer.step)
+    step = trainer.step
     t0 = time.time()
     # Sweep ONLY at epoch boundaries, after the device_prefetch producer
     # thread has drained: a first attempt that ran the 1000-step sampler
@@ -84,6 +93,7 @@ def main(total_steps=3000, val_at=(0, 500, 1500, 3000)):
             print(json.dumps({"step": step, "loss": round(lv, 5),
                               "elapsed_s": round(time.time() - t0, 1)}),
                   flush=True)
+            trainer.save_checkpoint("latest")
             sweep(step)
             while val_points and step >= val_points[0]:
                 val_points.pop(0)
