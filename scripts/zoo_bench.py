@@ -19,7 +19,9 @@ def bench_model(name, steps=50):
     from sradsgan_tpu.parallel.mesh import shard_batch
     from sradsgan_tpu.train.trainer import Trainer
 
-    cfg = config_for_model(name, 4)
+    name, _, scale = name.partition(":")  # "model[:scale]", default x4
+    scale = int(scale or 4)
+    cfg = config_for_model(name, scale)
     cfg.data.synthetic = True
     cfg.data.crop_size = 216
     cfg.data.batch_size = 16
@@ -27,7 +29,7 @@ def bench_model(name, steps=50):
     trainer = Trainer(cfg)
     rng = np.random.default_rng(0)
     batch = shard_batch({
-        "lr": rng.random((16, 54, 54, 3)).astype(np.float32),
+        "lr": rng.random((16, 216 // scale, 216 // scale, 3)).astype(np.float32),
         "hr": rng.random((16, 216, 216, 3)).astype(np.float32),
         "bc": rng.random((16, 216, 216, 3)).astype(np.float32),
     }, trainer.mesh)
