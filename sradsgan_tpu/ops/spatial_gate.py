@@ -12,8 +12,9 @@ ops/pallas/slam.py so the backward is the hand-written single-pass jnp
 (or Pallas) kernel.  Measured g_pixel fwd+bwd (flagship x4, batch 16,
 host-fetch timing, scripts/timing_probe.py):
 
-- ``conv`` (default, 55.5 ms): f32 channel stats, ``lax.conv`` over the
-  2-plane stack, custom backward.
+- ``conv`` (default, 53.0 ms with the saved-residual backward; 55.5 with
+  the recomputing one): f32 channel stats, ``lax.conv`` over the 2-plane
+  stack, custom backward.
 - ``taps`` (65.8 ms): the same stats with the kxk conv as an unrolled
   shift-and-add stencil (98 unaligned lane-shifts lose to the conv
   emitter), custom backward.
