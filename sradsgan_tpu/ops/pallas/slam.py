@@ -39,8 +39,12 @@ _VMEM_LIMIT_BYTES = 24 * 1024 * 1024  # per-slice guard; fall back beyond
 
 
 def _is_tpu_backend() -> bool:
+    # Single-device only: a pallas_call inside the pjit'd step is opaque to
+    # the SPMD partitioner, so on a >1-chip mesh the jnp fallback (which
+    # XLA partitions like any other op) is the correct path.
     try:
-        return jax.default_backend() in _TPU_PLATFORMS
+        return (jax.default_backend() in _TPU_PLATFORMS
+                and jax.device_count() == 1)
     except Exception:
         return False
 

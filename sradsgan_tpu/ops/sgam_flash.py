@@ -34,9 +34,15 @@ _TPU_PLATFORMS = ("tpu", "axon")
 
 
 def is_available() -> bool:
-    """True when the TPU flash kernel can run (trace-time gate)."""
+    """True when the TPU flash kernel can run (trace-time gate).
+
+    Single-device only: a pallas_call inside the pjit'd step is opaque to
+    the SPMD partitioner, so on a >1-chip mesh the XLA formulations (which
+    the partitioner splits like any other op) are the correct path.
+    """
     try:
-        if jax.default_backend() not in _TPU_PLATFORMS:
+        if (jax.default_backend() not in _TPU_PLATFORMS
+                or jax.device_count() != 1):
             return False
         from jax.experimental.pallas.ops.tpu import flash_attention  # noqa
         return True
