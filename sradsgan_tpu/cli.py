@@ -95,6 +95,20 @@ def _load_eval_model(args, ckpt):
     return generator, variables
 
 
+def _archive_stale_dir(path: str) -> None:
+    """Rename an existing run dir to ``{path}_archived_{timestamp}`` so a
+    fresh (non-resume) run never mixes outputs with a stale one — the
+    reference's check_args -> mkdir_and_rename behavior
+    (main_sradsgan.py:66-86, utils/utils.py:830-838)."""
+    if os.path.isdir(path) and os.listdir(path):
+        import datetime
+        stamp = datetime.datetime.now().strftime("%y%m%d-%H%M%S")
+        new_name = f"{path}_archived_{stamp}"
+        print(f"run dir exists, renaming it to [{new_name}]",
+              file=sys.stderr)
+        os.rename(path, new_name)
+
+
 def cmd_train(args) -> int:
     from sradsgan_tpu.train.trainer import Trainer
 
@@ -103,6 +117,8 @@ def cmd_train(args) -> int:
         cfg.num_epochs = args.epochs
     if args.init_from:
         cfg.init_from = args.init_from
+    if not args.resume:
+        _archive_stale_dir(cfg.model_dir)
     trainer = Trainer(cfg)
     if args.resume:
         trainer.load_checkpoint(args.resume)

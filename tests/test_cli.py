@@ -69,3 +69,24 @@ def test_cli_diffusion_validate(tmp_path, capsys):
     files = os.listdir(rdir)
     assert any(f.endswith("_sr_process.png") for f in files), files
     assert any(f.endswith("_plot.png") for f in files), files
+
+
+def test_cli_train_archives_stale_run_dir(tmp_path, capsys):
+    """A fresh (non-resume) train run renames an existing run dir to
+    *_archived_<timestamp> instead of mixing outputs into it — the
+    reference's check_args -> mkdir_and_rename behavior
+    (main_sradsgan.py:66-86, utils/utils.py:830-838)."""
+    stale = tmp_path / "EDSR_x2"
+    stale.mkdir()
+    (stale / "old_output.txt").write_text("stale")
+    rc = main(["train", "--model", "edsr", "--scale", "2",
+               "--data", "synthetic", "--crop-size", "32",
+               "--batch-size", "4", "--steps", "1", "--no-bf16",
+               "--save-dir", str(tmp_path), "--no-final-eval",
+               "--model-kwargs", '{"base_filters": 8, "num_residuals": 1}'])
+    assert rc == 0
+    archived = [p for p in tmp_path.iterdir()
+                if p.name.startswith("EDSR_x2_archived_")]
+    assert len(archived) == 1
+    assert (archived[0] / "old_output.txt").read_text() == "stale"
+    assert (tmp_path / "EDSR_x2").is_dir()  # fresh dir created by the run
