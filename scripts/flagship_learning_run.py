@@ -17,7 +17,7 @@ import numpy as np
 
 
 def main(total_steps=3000, val_at=(0, 250, 500, 1000, 2000, 3000),
-         d_bf16=False):
+         d_bf16=False, seed=0, val_lpips=False):
     import jax
 
     from sradsgan_tpu.core.cache import enable_compilation_cache
@@ -29,7 +29,10 @@ def main(total_steps=3000, val_at=(0, 250, 500, 1000, 2000, 3000),
 
     cfg = config_for_model("sradsgan", 4)
     cfg.d_bf16 = d_bf16
+    cfg.seed = seed
+    cfg.val_lpips = val_lpips  # 5-metric sweeps (sradsgan.py:1484-1496)
     print(json.dumps({"config": "sradsgan_x4", "d_bf16": d_bf16,
+                      "seed": seed, "val_lpips": val_lpips,
                       "steps": total_steps}), flush=True)
     cfg.data.synthetic = True
     cfg.data.synthetic_size = 256
@@ -38,7 +41,8 @@ def main(total_steps=3000, val_at=(0, 250, 500, 1000, 2000, 3000),
     cfg.data.batch_size = 16
     cfg.data.test_batch_size = 4
     cfg.save_dir = ("/tmp/sradsgan_learning_bf16d" if d_bf16
-                    else "/tmp/sradsgan_learning")
+                    else "/tmp/sradsgan_learning") + \
+        (f"_seed{seed}" if seed else "")
     trainer = Trainer(cfg)
 
     def sweep(step):
@@ -50,7 +54,7 @@ def main(total_steps=3000, val_at=(0, 250, 500, 1000, 2000, 3000),
 
     sweep(0)
     ds = build_train_dataset(cfg.data, cfg.scale)
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(seed)
     step = 0
     t0 = time.time()
     val_points = sorted(s for s in val_at if 0 < s <= total_steps)
@@ -78,5 +82,10 @@ def main(total_steps=3000, val_at=(0, 250, 500, 1000, 2000, 3000),
 
 
 if __name__ == "__main__":
+    seed = 0
+    for a in sys.argv[2:]:
+        if a.startswith("seed="):
+            seed = int(a.split("=")[1])
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 3000,
-         d_bf16="bf16d" in sys.argv[2:])
+         d_bf16="bf16d" in sys.argv[2:], seed=seed,
+         val_lpips="lpips" in sys.argv[2:])

@@ -105,6 +105,12 @@ class TrainConfig:
     d_bf16: bool = True
     # Data-parallel mesh size (number of devices; -1 = all local devices).
     num_devices: int = -1
+    # Include LPIPS in the epoch validation sweep (the reference's validate
+    # computes all five metrics incl. LPIPS, sradsgan.py:1484-1496; off by
+    # default because the bundled calibration heads ride an uncalibrated
+    # trunk in this zero-egress image unless SRADSGAN_TPU_ALEXNET_NPZ is
+    # set — values are self-consistent either way).
+    val_lpips: bool = False
     # Extra generator constructor kwargs (e.g. smaller test networks).
     model_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)

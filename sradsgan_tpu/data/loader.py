@@ -102,9 +102,12 @@ def device_prefetch_stacked(iterator, mesh, k: int, depth: int = 2,
     a fresh XLA compile.
     """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
-    sentinel = object()
 
     def producer():
+        # A producer failure must surface in the consumer, not vanish as a
+        # silently short epoch: the sentinel carries the exception (if any)
+        # and the consumer re-raises it after draining.
+        err = None
         try:
             buf = []
             for batch in iterator:
@@ -115,24 +118,34 @@ def device_prefetch_stacked(iterator, mesh, k: int, depth: int = 2,
                                for key in keys}
                     q.put((shard_stacked_batches(stacked, mesh), buf[-1]))
                     buf = []
-        finally:
-            q.put(sentinel)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            err = e
+        q.put(_Sentinel(err))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
     while True:
         item = q.get()
-        if item is sentinel:
+        if isinstance(item, _Sentinel):
+            if item.err is not None:
+                raise item.err
             break
         yield item
+
+
+class _Sentinel:
+    """End-of-stream marker; carries a producer exception to re-raise."""
+
+    def __init__(self, err=None):
+        self.err = err
 
 
 def device_prefetch(iterator, mesh, depth: int = 2):
     """Move batches to device ahead of consumption (double buffering)."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
-    sentinel = object()
 
     def producer():
+        err = None
         try:
             for batch in iterator:
                 paths = batch.pop("path", None)
@@ -140,13 +153,16 @@ def device_prefetch(iterator, mesh, depth: int = 2):
                 if paths is not None:
                     sharded["path"] = paths
                 q.put(sharded)
-        finally:
-            q.put(sentinel)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            err = e
+        q.put(_Sentinel(err))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
     while True:
         item = q.get()
-        if item is sentinel:
+        if isinstance(item, _Sentinel):
+            if item.err is not None:
+                raise item.err
             break
         yield item

@@ -55,7 +55,14 @@ class ChannelGate(nn.Module):
             # Fused single-pass avg+max (Pallas on TPU; ops/pallas/pooling.py)
             from sradsgan_tpu.ops.pallas.pooling import fused_avg_max_pool
             avg, mx = fused_avg_max_pool(x)
-            out = mlp(avg) + mlp(mx)
+            # ONE stacked MLP pass over [avg; mx] instead of two: the MLP
+            # matmuls are tiny ((B, C) @ (C, C/16)) and latency-dominated at
+            # 48 gate instances per step — mlp(avg) + mlp(mx) is computed as
+            # split(mlp(concat)), mathematically identical (Dense is
+            # row-wise).
+            o = mlp(jnp.concatenate([avg, mx], axis=0))
+            b = x.shape[0]
+            out = o[:b] + o[b:]
         else:
             out = 0.0
             if "Avg" in self.pool_mode:
@@ -246,14 +253,16 @@ class SpatialSelfAttention(nn.Module):
             # the dense path stays.  SRADSGAN_TPU_SGAM_IMPL=dense restores
             # the bf16-energy path everywhere; =flash forces the kernel.
             from sradsgan_tpu.ops.sgam_flash import is_available
-            if is_available():
+            if is_available(b):
                 impl = "flash"
         if impl == "flash":
             from sradsgan_tpu.ops.sgam_flash import (
                 flash_position_attention, is_available)
-            if not is_available():
+            if not is_available(b):
                 raise RuntimeError(
-                    "SRADSGAN_TPU_SGAM_IMPL=flash needs a TPU backend")
+                    "SRADSGAN_TPU_SGAM_IMPL=flash needs a TPU backend "
+                    "(and, on a multi-chip mesh, a data mesh the batch "
+                    "divides — ops/spmd.py)")
             out = flash_position_attention(q, k, v).reshape(b, h, w, c)
         elif x.dtype == jnp.bfloat16 and impl == "chunked":
             out = _chunked_attention(q, k, v).reshape(b, h, w, c)

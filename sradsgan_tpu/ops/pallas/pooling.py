@@ -24,12 +24,10 @@ _TPU_PLATFORMS = ("tpu", "axon")
 
 
 def _is_tpu_backend() -> bool:
-    # Single-device only: a pallas_call inside the pjit'd step is opaque to
-    # the SPMD partitioner, so on a >1-chip mesh the jnp fallback (which
-    # XLA partitions like any other op) is the correct path.
+    from sradsgan_tpu.ops.spmd import pallas_interpret
     try:
         return (jax.default_backend() in _TPU_PLATFORMS
-                and jax.device_count() == 1)
+                or pallas_interpret())
     except Exception:
         return False
 
@@ -55,8 +53,10 @@ def _avg_max_pallas(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     # Outputs use full-array blocks (TPU tiling requires the last two block
     # dims divisible by (8, 128) or equal to the array dims); each grid step
     # writes its own row.
+    from sradsgan_tpu.ops.spmd import pallas_interpret
     avg, mx = pl.pallas_call(
         kernel,
+        interpret=pallas_interpret(),
         grid=(b,),
         in_specs=[pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -86,7 +86,14 @@ def fused_avg_max_pool(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if os.environ.get("SRADSGAN_TPU_NO_FUSED_POOL", "") == "1":
         return _avg_max_reference(x)  # measurement / escape hatch
     if _is_tpu_backend() and x.dtype == jnp.float32:
-        return _avg_max_pallas(x)
+        from sradsgan_tpu.ops.spmd import (DIRECT, plan_batch_kernel,
+                                           shard_map_batch)
+        plan = plan_batch_kernel(x.shape[0])
+        if plan is DIRECT:
+            return _avg_max_pallas(x)
+        if plan is not None:  # multi-chip: per-device kernel via shard_map
+            return shard_map_batch(_avg_max_pallas, plan, 1,
+                                   out_batched=(True, True))(x)
     return _avg_max_reference(x)
 
 

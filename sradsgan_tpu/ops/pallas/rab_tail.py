@@ -166,8 +166,14 @@ def _fwd_pallas(t, x_res, w1, w2, slam_w, fuse_w, fuse_b):
 def _pallas_ok(t) -> bool:
     b, h, w, c = t.shape
     bytes_needed = h * w * max(c, 128) * 4 * 4  # t, x, w_, out slices
+    # Single-device only (plan DIRECT): unlike the slam/pooling kernels
+    # this one's byproducts reduce ACROSS the batch grid (dfuse_w/b vecs),
+    # so a batch shard_map would need psums — not worth building for a
+    # kernel kept as a documented negative result (docs/PERF.md).
+    from sradsgan_tpu.ops.spmd import DIRECT, plan_batch_kernel
     return (_is_tpu_backend() and h >= 8 and w >= 8
-            and bytes_needed < _VMEM_LIMIT_BYTES)
+            and bytes_needed < _VMEM_LIMIT_BYTES
+            and plan_batch_kernel(b) is DIRECT)
 
 
 # ---------------------------------------------------------------------------

@@ -39,12 +39,10 @@ _VMEM_LIMIT_BYTES = 24 * 1024 * 1024  # per-slice guard; fall back beyond
 
 
 def _is_tpu_backend() -> bool:
-    # Single-device only: a pallas_call inside the pjit'd step is opaque to
-    # the SPMD partitioner, so on a >1-chip mesh the jnp fallback (which
-    # XLA partitions like any other op) is the correct path.
+    from sradsgan_tpu.ops.spmd import pallas_interpret
     try:
         return (jax.default_backend() in _TPU_PLATFORMS
-                and jax.device_count() == 1)
+                or pallas_interpret())
     except Exception:
         return False
 
@@ -108,8 +106,10 @@ def _fwd_pallas(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     pad = (k - 1) // 2
     w2 = w[..., 0].astype(jnp.float32)                    # (k, k, 2)
     kernel = functools.partial(_fwd_kernel, k, h, wdt)
+    from sradsgan_tpu.ops.spmd import pallas_interpret
     return pl.pallas_call(
         kernel,
+        interpret=pallas_interpret(),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h, wdt, c), lambda i: (i, 0, 0, 0),
@@ -187,8 +187,10 @@ def _bwd_pallas(x: jnp.ndarray, g: jnp.ndarray, w: jnp.ndarray):
     w2 = w[..., 0].astype(jnp.float32)
     kernel = functools.partial(_bwd_kernel, k, h, wdt)
     plane = jax.ShapeDtypeStruct((b, h, wdt), jnp.float32)
+    from sradsgan_tpu.ops.spmd import pallas_interpret
     return pl.pallas_call(
         kernel,
+        interpret=pallas_interpret(),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h, wdt, c), lambda i: (i, 0, 0, 0),
@@ -227,12 +229,12 @@ def _fwd_pallas_jvpsafe(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     raw kernel), so the tangent is computed from the mathematically
     identical ``_gate_reference`` while the primal stays the fused kernel.
     """
-    return _fwd_pallas(x, w)
+    return _fwd_pallas_spmd(x, w)
 
 
 @_fwd_pallas_jvpsafe.defjvp
 def _fwd_pallas_jvp(primals, tangents):
-    out = _fwd_pallas(*primals)
+    out = _fwd_pallas_spmd(*primals)
     _, tangent = jax.jvp(_gate_reference, primals, tangents)
     return out, tangent
 
@@ -250,8 +252,49 @@ def _pallas_ok(x: jnp.ndarray) -> bool:
         return False
     b, h, w, c = x.shape
     bytes_per_slice = h * w * max(c, 128) * 4
-    return (_is_tpu_backend() and h >= 8 and w >= 8
-            and bytes_per_slice < _VMEM_LIMIT_BYTES)
+    if not (_is_tpu_backend() and h >= 8 and w >= 8
+            and bytes_per_slice < _VMEM_LIMIT_BYTES):
+        return False
+    from sradsgan_tpu.ops.spmd import plan_batch_kernel
+    return plan_batch_kernel(b) is not None
+
+
+def _fwd_pallas_spmd(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """_fwd_pallas, shard_mapped over the data mesh when multi-device."""
+    from sradsgan_tpu.ops.spmd import (DIRECT, plan_batch_kernel,
+                                       shard_map_batch)
+    plan = plan_batch_kernel(x.shape[0])
+    if plan is DIRECT:
+        return _fwd_pallas(x, w)
+    return shard_map_batch(_fwd_pallas, plan, 1, n_rep_in=1)(x, w)
+
+
+def _bwd_pallas_spmd(x: jnp.ndarray, g: jnp.ndarray, w: jnp.ndarray):
+    from sradsgan_tpu.ops.spmd import (DIRECT, plan_batch_kernel,
+                                       shard_map_batch)
+    plan = plan_batch_kernel(x.shape[0])
+    if plan is DIRECT:
+        return _bwd_pallas(x, g, w)
+    return shard_map_batch(_bwd_pallas, plan, 2, n_rep_in=1,
+                           out_batched=(True, True, True, True))(x, g, w)
+
+
+def _min_per_device_batch(b: int) -> int:
+    """Worst-case per-device batch for a trace-time global batch ``b``.
+
+    Under pjit the trace sees the GLOBAL batch while each device executes
+    its shard; the small-batch miscompile guarded in ``_stat_conv`` /
+    ``_plane_grads`` triggers on the EXECUTED per-device shape.  The
+    trainer's 1-D data mesh shards the batch over every addressable
+    device, so the guard assumes that worst case: global batch divided by
+    ``jax.device_count()`` (equal to the global batch on a single chip,
+    where the raw conv is proven clean and measurably faster).
+    """
+    try:
+        n = jax.device_count()
+    except Exception:
+        n = 1
+    return max(b // max(n, 1), 1)
 
 
 def _stat_conv(stack: jnp.ndarray, w32: jnp.ndarray) -> jnp.ndarray:
@@ -269,9 +312,11 @@ def _stat_conv(stack: jnp.ndarray, w32: jnp.ndarray) -> jnp.ndarray:
     The guard is batch-conditional at trace time: unconditional padding
     measured 7.06 vs 7.31 MP/s on the full train step (batch 16), while
     batch >= 8 is proven clean with the raw conv — so the raw formulation
-    stays for b >= 8 and the padded one covers the small-batch
-    eval/serving (and per-device-sharded training) shapes."""
-    if stack.shape[0] >= 8:
+    stays when every device's shard is >= 8 and the padded one covers the
+    small-batch eval/serving shapes AND per-device-sharded training (the
+    trace-time shape is the GLOBAL batch; a multi-chip mesh executes the
+    conv at global/n_devices — see ``_min_per_device_batch``)."""
+    if _min_per_device_batch(stack.shape[0]) >= 8:
         return jax.lax.conv_general_dilated(
             stack, w32, window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
@@ -306,7 +351,7 @@ def _plane_grads(ds, w32):
     ds: (B, H, W) f32; w32: (k, k, 2, 1) f32.
     """
     kern = jnp.flip(w32[:, :, :, 0], axis=(0, 1))[:, :, None, :]  # (k,k,1,2)
-    if ds.shape[0] >= 8:
+    if _min_per_device_batch(ds.shape[0]) >= 8:
         out = jax.lax.conv_general_dilated(
             ds[..., None], kern, window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -366,7 +411,7 @@ def _bwd_jnp(x, w, g):
 @jax.custom_vjp
 def _gate_bwd(x, w, g):
     if _pallas_ok(x):
-        dx, ds, mean, mx = _bwd_pallas(x, g, w)
+        dx, ds, mean, mx = _bwd_pallas_spmd(x, g, w)
         k = w.shape[0]
         pad = (k - 1) // 2
         dw_ = _dw_contraction(ds, mean, mx, k, pad, x.shape[1], x.shape[2],

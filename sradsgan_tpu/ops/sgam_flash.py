@@ -33,19 +33,24 @@ import jax.numpy as jnp
 _TPU_PLATFORMS = ("tpu", "axon")
 
 
-def is_available() -> bool:
+def is_available(batch: int = 1) -> bool:
     """True when the TPU flash kernel can run (trace-time gate).
 
-    Single-device only: a pallas_call inside the pjit'd step is opaque to
-    the SPMD partitioner, so on a >1-chip mesh the XLA formulations (which
-    the partitioner splits like any other op) are the correct path.
+    On a single device the kernel is called directly.  On a multi-chip
+    mesh a raw pallas_call would be opaque to the SPMD partitioner, so
+    :func:`flash_position_attention` wraps it in ``jax.shard_map`` over
+    the data mesh's batch axis (each device runs the unchanged kernel on
+    its local shard — the op is batch-parallel); that needs the active
+    mesh to cover every device and ``batch`` to divide it
+    (ops/spmd.py), otherwise the XLA formulations (which the partitioner
+    splits like any other op) are the correct path and this returns False.
     """
     try:
-        if (jax.default_backend() not in _TPU_PLATFORMS
-                or jax.device_count() != 1):
+        if jax.default_backend() not in _TPU_PLATFORMS:
             return False
         from jax.experimental.pallas.ops.tpu import flash_attention  # noqa
-        return True
+        from sradsgan_tpu.ops.spmd import plan_batch_kernel
+        return plan_batch_kernel(batch) is not None
     except Exception:
         return False
 
@@ -95,6 +100,8 @@ def flash_position_attention(q: jnp.ndarray, k: jnp.ndarray,
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, SegmentIds, flash_attention)
+    from sradsgan_tpu.ops.spmd import (DIRECT, plan_batch_kernel,
+                                       shard_map_batch)
 
     n, d_v = q.shape[1], v.shape[-1]
     qp, kp, vp, ids, block = pad_for_kernel(q, k, v)
@@ -103,7 +110,17 @@ def flash_position_attention(q: jnp.ndarray, k: jnp.ndarray,
         block_q_major_dkv=block, block_k_major_dkv=block,
         block_k_dkv=block, block_q_dkv=block,
         block_k_major_dq=block, block_k_dq=block, block_q_dq=block)
-    out = flash_attention(qp, kp, vp,
-                          segment_ids=SegmentIds(q=ids, kv=ids),
-                          causal=False, sm_scale=1.0, block_sizes=sizes)
+
+    def call(qp, kp, vp, ids):
+        return flash_attention(qp, kp, vp,
+                               segment_ids=SegmentIds(q=ids, kv=ids),
+                               causal=False, sm_scale=1.0, block_sizes=sizes)
+
+    plan = plan_batch_kernel(q.shape[0])
+    if plan is not DIRECT:
+        # multi-chip: per-device kernel on the local batch shard (the op is
+        # batch-parallel; the kernel's own custom VJP differentiates inside
+        # the shard_map).  is_available(batch) guarantees plan is a Mesh.
+        call = shard_map_batch(call, plan, 4)
+    out = call(qp, kp, vp, ids)
     return out[:, 0, :n, :d_v].astype(v.dtype)

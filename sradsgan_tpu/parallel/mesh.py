@@ -18,14 +18,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
+# The most recently created mesh — read by ops/spmd.py at trace time so
+# batch-parallel Pallas kernels can shard_map themselves over the data axis
+# from deep inside model code (Flax modules have no mesh parameter).
+_ACTIVE_MESH: Optional[Mesh] = None
+
 
 def create_mesh(num_devices: int = -1,
                 devices: Optional[list] = None) -> Mesh:
     """1-D data-parallel mesh over local devices."""
+    global _ACTIVE_MESH
     devs = devices if devices is not None else jax.devices()
     if num_devices and num_devices > 0:
         devs = devs[:num_devices]
-    return Mesh(np.asarray(devs), (DATA_AXIS,))
+    mesh = Mesh(np.asarray(devs), (DATA_AXIS,))
+    _ACTIVE_MESH = mesh
+    return mesh
+
+
+def active_mesh() -> Optional[Mesh]:
+    """The last mesh built by :func:`create_mesh` (or None)."""
+    return _ACTIVE_MESH
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

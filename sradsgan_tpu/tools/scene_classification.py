@@ -6,12 +6,16 @@ Dense(256) -> Dense(21, softmax) head (:239-312), and ``evaluate()`` scoring
 accuracy + confusion matrices on SR output folders (:314-505) — i.e. SR
 quality is also judged by land-use classification accuracy.
 
-This build replaces the Keras VGG16 with the in-repo VGG19 feature trunk
-(losses/vgg.py) — load converted torchvision weights via
-SRADSGAN_TPU_VGG19_NPZ for pretrained features; otherwise a fixed-seed
-random trunk is used (random conv features + trained linear head is a valid,
-self-consistent downstream metric, though absolute accuracies differ from
-the Keras-VGG16 numbers).  The head trains with optax on device.
+The trunk is the reference's own architecture: VGG16 bottleneck features
+(losses/lpips.py VGG16Features — the conv stack of Keras
+``VGG16(include_top=False)``), with the block5 output max-pooled once more
+(Keras block5_pool) and flattened, exactly the feature the reference's
+Dense head consumes.  Load converted torchvision VGG16 weights via
+SRADSGAN_TPU_VGG16_NPZ (the same hook the LPIPS vgg trunk uses) for
+pretrained features; otherwise a fixed-seed random trunk is used (random
+conv features + trained linear head is a valid, self-consistent downstream
+metric, though absolute accuracies differ from the Keras-VGG16 numbers).
+The head trains with optax on device.
 """
 
 from __future__ import annotations
@@ -28,7 +32,14 @@ import jax.numpy as jnp
 import optax
 
 from sradsgan_tpu.data.datasets import scan_class_dirs, scan_image_dirs
-from sradsgan_tpu.losses.vgg import VGG19Features, load_vgg19_params
+from sradsgan_tpu.losses.lpips import VGG16_WEIGHTS_ENV, VGG16Features, \
+    _nest_npz
+
+
+def nn_max_pool(x):
+    """2x2/2 max pool (Keras block5_pool semantics)."""
+    from flax import linen as nn
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 
 def split_dataset(root: str, train_frac: float = 0.65,
@@ -57,17 +68,26 @@ class SceneClassifier:
                  seed: int = 0):
         self.image_size = image_size
         self.feature_batch = feature_batch
-        self.trunk = VGG19Features()
-        loaded = load_vgg19_params()
-        self.pretrained = loaded is not None
-        if loaded is not None:
-            self.trunk_params = loaded["params"]
-        else:
-            self.trunk_params = self.trunk.init(
-                jax.random.PRNGKey(7),
-                jnp.zeros((1, image_size, image_size, 3)))["params"]
-        self._feat = jax.jit(lambda x: jnp.mean(
-            self.trunk.apply({"params": self.trunk_params}, x), axis=(1, 2)))
+        self.trunk = VGG16Features()
+        self.trunk_params = self.trunk.init(
+            jax.random.PRNGKey(7),
+            jnp.zeros((1, image_size, image_size, 3)))["params"]
+        path = os.environ.get(VGG16_WEIGHTS_ENV)
+        self.pretrained = bool(path and os.path.exists(path))
+        if self.pretrained:
+            loaded = _nest_npz(np.load(path))
+            merged = dict(self.trunk_params)
+            merged.update(loaded)
+            self.trunk_params = merged
+
+        def bottleneck(x):
+            # relu5_3 -> 2x2 max pool (Keras block5_pool), flattened: the
+            # exact feature the reference's Dense head consumes (:121-237)
+            tap = self.trunk.apply({"params": self.trunk_params}, x)[-1]
+            pooled = nn_max_pool(tap)
+            return pooled.reshape(pooled.shape[0], -1)
+
+        self._feat = jax.jit(bottleneck)
         self.head = None
         self.seed = seed
 

@@ -43,7 +43,7 @@ from sradsgan_tpu.losses import (VGG19Features, adversarial_loss_d,
 from sradsgan_tpu.losses.vgg import load_vgg19_params
 from sradsgan_tpu.metrics import batched_ergas, batched_psnr, batched_ssim
 from sradsgan_tpu.models import get_spec
-from sradsgan_tpu.parallel.mesh import create_mesh, replicate
+from sradsgan_tpu.parallel.mesh import create_mesh, replicate, shard_batch
 from sradsgan_tpu.train.state import (GANTrainState, get_lr, make_optimizer,
                                       set_lr)
 from sradsgan_tpu.utils.logging import Logger
@@ -370,7 +370,7 @@ class Trainer:
         sr, _ = self.g_apply(state.g_params, state.g_stats, batch["lr"],
                              False)
         sr = sr.astype(jnp.float32)
-        return {
+        out = {
             "psnr": batched_psnr(sr, batch["hr"]),
             "ssim": batched_ssim(sr, batch["hr"]),
             "ergas": batched_ergas(sr, batch["hr"], self.cfg.scale),
@@ -379,6 +379,12 @@ class Trainer:
             # first SR of the batch, for TB image summaries (not averaged)
             "sr0": sr[:1],
         }
+        if self.cfg.val_lpips:
+            # All five reference metrics in the sweep (sradsgan.py:1484-96)
+            from sradsgan_tpu.losses.lpips import batched_lpips
+            out["lpips"] = batched_lpips(sr, batch["hr"])
+            out["bc_lpips"] = batched_lpips(batch["bc"], batch["hr"])
+        return out
 
     # ------------------------------------------------------------------
     # Validation sweep
@@ -465,7 +471,14 @@ class Trainer:
             spc = max(1, min(cfg.steps_per_call, len(loader)))
 
             def _calls():
-                """Yields (device payload, eval-able batch, K)."""
+                """Yields (device payload, host eval batch or None, K).
+
+                In multi-step mode the eval batch stays HOST-side: sharding
+                it here would add a duplicate full-batch transfer over this
+                environment's ~10 MB/s tunnel every K steps even when no
+                sample-interval eval fires in the chunk — it is sharded
+                lazily at the eval site instead.
+                """
                 if spc == 1:
                     for batch in device_prefetch(iter(loader), self.mesh):
                         batch.pop("path", None)
@@ -473,10 +486,9 @@ class Trainer:
                 else:
                     from sradsgan_tpu.data.loader import \
                         device_prefetch_stacked
-                    from sradsgan_tpu.parallel.mesh import shard_batch
                     for stacked, last in device_prefetch_stacked(
                             iter(loader), self.mesh, spc):
-                        yield stacked, shard_batch(last, self.mesh), spc
+                        yield stacked, last, spc
 
             for payload, eval_batch, k_steps in _calls():
                 rng, step_rng = jax.random.split(rng)
@@ -506,6 +518,10 @@ class Trainer:
                     # in-training sample metrics vs the bicubic twin
                     # (reference sradsgan.py:911-969) + TB image summary
                     # (reference utils/logger.py:64-87)
+                    if k_steps > 1:  # lazy shard (host batch in scan mode)
+                        eval_batch = shard_batch(
+                            {k: v for k, v in eval_batch.items()
+                             if k != "path"}, self.mesh)
                     q = dict(self._jit_eval(self.state, eval_batch))
                     sr0 = np.asarray(q.pop("sr0"))[0]
                     self.logger.print_format_results(
