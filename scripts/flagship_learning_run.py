@@ -79,6 +79,8 @@ def main(total_steps=3000, val_at=(0, 250, 500, 1000, 2000, 3000),
                 val_points.pop(0)
             if step >= total_steps:
                 break
+    ckpt = trainer.save_checkpoint(0)
+    print(json.dumps({"checkpoint": ckpt}), flush=True)
 
 
 if __name__ == "__main__":

@@ -59,10 +59,18 @@ class ChannelGate(nn.Module):
             # matmuls are tiny ((B, C) @ (C, C/16)) and latency-dominated at
             # 48 gate instances per step — mlp(avg) + mlp(mx) is computed as
             # split(mlp(concat)), mathematically identical (Dense is
-            # row-wise).
-            o = mlp(jnp.concatenate([avg, mx], axis=0))
-            b = x.shape[0]
-            out = o[:b] + o[b:]
+            # row-wise).  SRADSGAN_TPU_CLAM_MLP=twopass restores the
+            # two-call formulation (trace-time A/B knob: the full-step
+            # bench read 8.91 MP/s before the stacked change landed and
+            # 8.62 after, in a commit that changed several things — the
+            # knob isolates this one).
+            import os
+            if os.environ.get("SRADSGAN_TPU_CLAM_MLP", "") == "twopass":
+                out = mlp(avg) + mlp(mx)
+            else:
+                o = mlp(jnp.concatenate([avg, mx], axis=0))
+                b = x.shape[0]
+                out = o[:b] + o[b:]
         else:
             out = 0.0
             if "Avg" in self.pool_mode:

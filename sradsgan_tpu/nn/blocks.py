@@ -158,24 +158,56 @@ class UpsampleHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
         act = make_act(self.activation)
         stages = self.stages(self.scale)
+        # SRADSGAN_TPU_UPSAMPLE_IMPL=convt folds conv+PixelShuffle into one
+        # transposed conv (ops/pixelshuffle.subpixel_conv_transposed) — the
+        # param tree is IDENTICAL (Conv_N/kernel+bias in nn.Conv layout) so
+        # checkpoints swap freely between formulations.
+        convt = os.environ.get("SRADSGAN_TPU_UPSAMPLE_IMPL", "") == "convt"
         shared_conv = None
         if self.share_stages and stages:
             r0 = stages[0]
-            shared_conv = nn.Conv(self.features * r0 * r0, (3, 3),
-                                  padding="SAME",
-                                  kernel_init=default_kernel_init,
-                                  dtype=self.dtype)
-        for r in stages:
-            conv = shared_conv if shared_conv is not None else nn.Conv(
-                self.features * r * r, (3, 3), padding="SAME",
-                kernel_init=default_kernel_init, dtype=self.dtype)
-            x = conv(x)
-            x = pixel_shuffle(x, r)
+            shared_conv = (_SubpixelParams(self.features, r0, name="Conv_0")
+                           if convt else
+                           nn.Conv(self.features * r0 * r0, (3, 3),
+                                   padding="SAME",
+                                   kernel_init=default_kernel_init,
+                                   dtype=self.dtype))
+        for i, r in enumerate(stages):
+            if convt:
+                holder = (shared_conv if shared_conv is not None else
+                          _SubpixelParams(self.features, r, name=f"Conv_{i}"))
+                kernel, bias = holder()
+                from sradsgan_tpu.ops.pixelshuffle import \
+                    subpixel_conv_transposed
+                x = subpixel_conv_transposed(x, kernel, bias, r)
+            else:
+                conv = shared_conv if shared_conv is not None else nn.Conv(
+                    self.features * r * r, (3, 3), padding="SAME",
+                    kernel_init=default_kernel_init, dtype=self.dtype)
+                x = conv(x)
+                x = pixel_shuffle(x, r)
             if act is not None:
                 x = act(x)
         return x
+
+
+class _SubpixelParams(nn.Module):
+    """nn.Conv-compatible kernel+bias holder for the transposed-conv
+    sub-pixel path (same param names/shapes as ``nn.Conv(f*r*r, (3, 3))``)."""
+
+    features: int
+    r: int
+
+    @nn.compact
+    def __call__(self):
+        crr = self.features * self.r * self.r
+        kernel = self.param("kernel", default_kernel_init,
+                            (3, 3, self.features, crr))
+        bias = self.param("bias", nn.initializers.zeros, (crr,))
+        return kernel, bias
 
 
 class DeconvBlock(nn.Module):

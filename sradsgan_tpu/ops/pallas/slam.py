@@ -55,6 +55,33 @@ def _pools(x32: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.mean(x32, axis=-1), jnp.max(x32, axis=-1)
 
 
+def _stats_variadic() -> bool:
+    import os
+    return os.environ.get("SRADSGAN_TPU_SLAM_STATS", "") == "variadic"
+
+
+def _pools_fast(x32: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """mean_c / max_c as ONE variadic lane reduce (opt-in,
+    SRADSGAN_TPU_SLAM_STATS=variadic).
+
+    Round-4 trace finding (scripts/trace_step.py): the default two-reduce
+    formulation shows up as ~179 `convert_reduce_fusion` ops = 7.8 ms/step
+    across the flagship's 48 gates — each lane-axis reduce pays the full
+    cross-lane pass over the (B, H, W, 64) slice.  A single variadic
+    ``lax.reduce`` halves the stat passes.  Only used inside custom-VJP
+    bodies that are never autodiff'd (variadic reduce has no JVP rule).
+    """
+    c = x32.shape[-1]
+    s, m = jax.lax.reduce(
+        (x32, x32), (jnp.float32(0), jnp.float32(-jnp.inf)),
+        lambda a, b: (a[0] + b[0], jnp.maximum(a[1], b[1])), (3,))
+    return s / c, m
+
+
+def _pools_sel(x32):
+    return _pools_fast(x32) if _stats_variadic() else _pools(x32)
+
+
 def _conv_taps(planes, w32):
     """planes: list of (B, H, W) f32; w32: (k, k, n, 1) -> (B, H, W)."""
     k = w32.shape[0]
@@ -449,11 +476,18 @@ def _gate_bwd_saved(x, w, g, gate, mean, mx):
     c = x.shape[-1]
     x32 = x.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
-    dgate = jnp.sum(g32 * x32, axis=-1)
+    is_max = (x32 == mx[..., None]).astype(jnp.float32)
+    if _stats_variadic():
+        # ONE variadic lane reduce for (dgate, tie-count) — see _pools_fast
+        dgate, nties = jax.lax.reduce(
+            (g32 * x32, is_max), (jnp.float32(0), jnp.float32(0)),
+            lambda a, b: (a[0] + b[0], a[1] + b[1]), (3,))
+    else:
+        dgate = jnp.sum(g32 * x32, axis=-1)
+        nties = jnp.sum(is_max, axis=-1)
     ds = dgate * gate * (1.0 - gate)
     dmean, dmax = _plane_grads(ds, w.astype(jnp.float32))
-    is_max = (x32 == mx[..., None]).astype(jnp.float32)
-    ties = jnp.maximum(jnp.sum(is_max, axis=-1), 1.0)
+    ties = jnp.maximum(nties, 1.0)
     dx = (g32 * gate[..., None] + dmean[..., None] / c
           + (dmax / ties)[..., None] * is_max).astype(x.dtype)
     # dw via the k*k einsum contraction — a single conv-as-wgrad (batch as
@@ -499,9 +533,10 @@ def fused_spatial_gate(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 def _fwd_with_stats(x, w):
     """Forward that also returns the stat planes + gate for the
-    saved-residual backward."""
+    saved-residual backward.  (Inside the custom-VJP forward — never
+    autodiff'd, so the variadic stat reduce is safe here.)"""
     x32 = x.astype(jnp.float32)
-    mean, mx = _pools(x32)
+    mean, mx = _pools_sel(x32)
     w32 = w.astype(jnp.float32)
     if _impl() == "conv":
         stack = jnp.stack([mean, mx], axis=-1)

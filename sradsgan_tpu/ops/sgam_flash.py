@@ -59,17 +59,43 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+_MASK_BIAS = -1e4  # exp(-1e4) == 0.0 exactly in f32 — hard mask, no leak
+
+
+def _mask_impl() -> str:
+    import os
+    return os.environ.get("SRADSGAN_TPU_SGAM_MASK", "bias")
+
+
 def pad_for_kernel(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
     """Pad (B, N, d) q/k/v to the kernel's tile constraints.
 
     Returns ``(qp, kp, vp, ids, block)`` with qp/kp/vp of shape
     (B, 1 head, Np, d) and ``ids`` (B, Np) segment ids (1 = real position,
-    0 = padding).  Exactness: zero columns added to q/k contribute nothing
-    to q.k^T, and padded key positions sit in a different segment so they
-    get exactly zero softmax weight; padded QUERY rows attend only among
-    themselves (same pad segment), so they are well-defined garbage that
-    the caller slices off.  Factored out so the mask/pad logic is testable
-    on CPU against the flash module's jnp reference (tests/test_models.py).
+    0 = padding) or ``None`` when the bias-column mask is active (default).
+
+    Exactness: zero columns added to q/k contribute nothing to q.k^T.  For
+    padded KEY positions two equivalent maskings are implemented
+    (SRADSGAN_TPU_SGAM_MASK):
+
+    - ``bias`` (default, round 4): one of the zero pad columns is
+      repurposed as a mask column — real queries get q[...,d_qk]=1 and
+      padded keys get k[...,d_qk]=-1e4, so a padded key's energy is
+      exactly -1e4 and its softmax weight exp(-1e4 - m) flushes to
+      exactly 0.0 in f32 for any real row max m (energies are O(10)).
+      No SegmentIds: the round-4 trace showed the segment-id machinery
+      materializing ~2 ms/step of s32[16,3072,128] masks inside the
+      kernel's XLA glue (scripts/trace_step.py).  Gradients through the
+      mask column are exactly zero for real keys (k column is 0) and
+      suppressed to 0.0 for padded ones (weight is 0), and the pad-slice
+      discards them anyway.
+    - ``segments``: padded key positions sit in a different segment so
+      they get exactly zero softmax weight (the round-3 formulation).
+
+    Padded QUERY rows are well-defined garbage either way (uniform-ish
+    rows that the caller slices off).  Factored out so the mask/pad logic
+    is testable on CPU against the flash module's jnp reference
+    (tests/test_models.py).
     """
     b, n, d_qk = q.shape
     d_v = v.shape[-1]
@@ -83,11 +109,17 @@ def pad_for_kernel(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
     def pad(x, dim):
         return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, d - dim)))
 
-    qp = pad(q, d_qk)[:, None]          # (B, 1 head, Np, d)
-    kp = pad(k, d_qk)[:, None]
+    use_bias = _mask_impl() == "bias" and d_qk < d
+    if use_bias:
+        qp = pad(q, d_qk).at[:, :, d_qk].set(1.0)[:, None]
+        kp = pad(k, d_qk).at[:, n:, d_qk].set(_MASK_BIAS)[:, None]
+        ids = None
+    else:
+        qp = pad(q, d_qk)[:, None]          # (B, 1 head, Np, d)
+        kp = pad(k, d_qk)[:, None]
+        ids = jnp.concatenate([jnp.ones((b, n), jnp.int32),
+                               jnp.zeros((b, n_pad - n), jnp.int32)], axis=1)
     vp = pad(v, d_v)[:, None]
-    ids = jnp.concatenate([jnp.ones((b, n), jnp.int32),
-                           jnp.zeros((b, n_pad - n), jnp.int32)], axis=1)
     return qp, kp, vp, ids, block
 
 
@@ -111,16 +143,25 @@ def flash_position_attention(q: jnp.ndarray, k: jnp.ndarray,
         block_k_dkv=block, block_q_dkv=block,
         block_k_major_dq=block, block_k_dq=block, block_q_dq=block)
 
-    def call(qp, kp, vp, ids):
-        return flash_attention(qp, kp, vp,
-                               segment_ids=SegmentIds(q=ids, kv=ids),
-                               causal=False, sm_scale=1.0, block_sizes=sizes)
+    if ids is None:  # bias-column masking (default) — no segment machinery
+        def call(qp, kp, vp):
+            return flash_attention(qp, kp, vp, segment_ids=None,
+                                   causal=False, sm_scale=1.0,
+                                   block_sizes=sizes)
+        args = (qp, kp, vp)
+    else:
+        def call(qp, kp, vp, ids):
+            return flash_attention(qp, kp, vp,
+                                   segment_ids=SegmentIds(q=ids, kv=ids),
+                                   causal=False, sm_scale=1.0,
+                                   block_sizes=sizes)
+        args = (qp, kp, vp, ids)
 
     plan = plan_batch_kernel(q.shape[0])
     if plan is not DIRECT:
         # multi-chip: per-device kernel on the local batch shard (the op is
         # batch-parallel; the kernel's own custom VJP differentiates inside
         # the shard_map).  is_available(batch) guarantees plan is a Mesh.
-        call = shard_map_batch(call, plan, 4)
-    out = call(qp, kp, vp, ids)
+        call = shard_map_batch(call, plan, len(args))
+    out = call(*args)
     return out[:, 0, :n, :d_v].astype(v.dtype)

@@ -115,6 +115,21 @@ class Trainer:
                       "content-loss values are not reference-comparable "
                       "(losses/vgg.py)", file=sys.stderr)
 
+        # Flat-vector optimizer states (round 4, opt-in,
+        # SRADSGAN_TPU_FLAT_OPT=1): the device trace (scripts/trace_step.py)
+        # showed ~8-9 ms/step of per-PARAMETER op soup — each of the ~400
+        # G/D leaves gets its own Adam m/v/update fusions plus the p+u add
+        # and (D) weight clip.  Raveling grads/params to ONE f32 vector is
+        # bit-identical leaf-by-leaf (Adam/clip are elementwise; the
+        # reference clips every D param, sradsgan.py:890-892) and removes
+        # ~2.8k ops/step — but MEASURED NET-NEGATIVE on hardware (+1.5
+        # ms/step, bench 8.50 vs 8.63 MP/s): the saved fusion soup (-3.2
+        # ms) is outweighed by the grad-ravel concatenates, the unravel
+        # reshapes, and conv prologues that now convert sliced f32 weights
+        # in-fusion (+4.5 ms; trace diff in docs/PERF.md round 4).  Kept as
+        # a documented negative result.
+        self._flat_opt = os.environ.get("SRADSGAN_TPU_FLAT_OPT", "0") == "1"
+
         self.mesh = create_mesh(cfg.num_devices)
         self.logger = Logger(cfg.model, os.path.join(cfg.model_dir, "logs"))
         self.g_opt_tx = make_optimizer(cfg.optim.lr, cfg.optim.b1,
@@ -144,7 +159,6 @@ class Trainer:
         if self.discriminator is not None:
             d_params, d_stats = _split_variables(
                 self.discriminator.init(k_d, x_hr, train=False))
-            d_opt = self.d_opt_tx.init(d_params)
         if self.vgg is not None and self.vgg_params is None:
             # No pretrained weights available: fixed-seed random features
             # (documented in losses/vgg.py).
@@ -159,10 +173,20 @@ class Trainer:
             if d_params is not None and prev.get("d_params") is not None:
                 d_params, _, _ = partial_restore(d_params, prev["d_params"])
 
+        if self._flat_opt:
+            from jax.flatten_util import ravel_pytree
+            g_opt = self.g_opt_tx.init(ravel_pytree(g_params)[0])
+            if d_params is not None:
+                d_opt = self.d_opt_tx.init(ravel_pytree(d_params)[0])
+        else:
+            g_opt = self.g_opt_tx.init(g_params)
+            if d_params is not None:
+                d_opt = self.d_opt_tx.init(d_params)
+
         state = GANTrainState(
             step=jnp.zeros((), jnp.int32),
             g_params=g_params, g_stats=g_stats,
-            g_opt=self.g_opt_tx.init(g_params),
+            g_opt=g_opt,
             d_params=d_params, d_stats=d_stats, d_opt=d_opt)
         return replicate(state, self.mesh)
 
@@ -256,10 +280,18 @@ class Trainer:
             (loss_g, (sr, new_gstats, aux)), g_grads = jax.value_and_grad(
                 g_loss_fn, has_aux=True)(state.g_params)
 
-        g_updates, new_g_opt = self.g_opt_tx.update(g_grads, state.g_opt,
-                                                    state.g_params)
-        new_g_params = jax.tree.map(lambda p, u: p + u, state.g_params,
-                                    g_updates)
+        if self._flat_opt:
+            from jax.flatten_util import ravel_pytree
+            flat_gr = ravel_pytree(g_grads)[0]
+            flat_p, g_unravel = ravel_pytree(state.g_params)
+            g_updates, new_g_opt = self.g_opt_tx.update(flat_gr, state.g_opt,
+                                                        flat_p)
+            new_g_params = g_unravel(flat_p + g_updates)
+        else:
+            g_updates, new_g_opt = self.g_opt_tx.update(g_grads, state.g_opt,
+                                                        state.g_params)
+            new_g_params = jax.tree.map(lambda p, u: p + u, state.g_params,
+                                        g_updates)
         metrics["loss_G"] = loss_g
         metrics.update(aux)
 
@@ -327,14 +359,28 @@ class Trainer:
             loss_d = loss_d_raw - gp_w * gp_val + cfg.gan.lambda_gp * gp_val
 
         if self.discriminator is not None:
-            d_updates, new_d_opt = self.d_opt_tx.update(d_grads, state.d_opt,
-                                                        state.d_params)
-            new_d_params = jax.tree.map(lambda p, u: p + u, state.d_params,
-                                        d_updates)
-            if cfg.gan.gan_type == "wgan-gp":
-                c = cfg.gan.clip_value  # weight clip (sradsgan.py:890-892)
-                new_d_params = jax.tree.map(
-                    lambda p: jnp.clip(p, -c, c), new_d_params)
+            if self._flat_opt:
+                from jax.flatten_util import ravel_pytree
+                flat_dr = ravel_pytree(d_grads)[0]
+                flat_pd, d_unravel = ravel_pytree(state.d_params)
+                d_updates, new_d_opt = self.d_opt_tx.update(
+                    flat_dr, state.d_opt, flat_pd)
+                new_flat = flat_pd + d_updates
+                if cfg.gan.gan_type == "wgan-gp":
+                    # weight clip (sradsgan.py:890-892) — every D param,
+                    # so the flat clip is the same op in one fusion
+                    new_flat = jnp.clip(new_flat, -cfg.gan.clip_value,
+                                        cfg.gan.clip_value)
+                new_d_params = d_unravel(new_flat)
+            else:
+                d_updates, new_d_opt = self.d_opt_tx.update(
+                    d_grads, state.d_opt, state.d_params)
+                new_d_params = jax.tree.map(lambda p, u: p + u,
+                                            state.d_params, d_updates)
+                if cfg.gan.gan_type == "wgan-gp":
+                    c = cfg.gan.clip_value  # weight clip (sradsgan.py:890-892)
+                    new_d_params = jax.tree.map(
+                        lambda p: jnp.clip(p, -c, c), new_d_params)
             metrics["loss_D"] = loss_d
 
         new_state = state.replace(

@@ -176,30 +176,71 @@ def test_flash_sgam_on_tpu_matches_exact_softmax():
         np.testing.assert_allclose(a, b, atol=4e-2 * np.abs(b).max())
 
 
-def test_flash_sgam_pad_mask_logic_on_cpu():
-    """The pad/mask wrapper feeding the TPU flash kernel is exact: running
-    the flash module's own jnp reference (mha_reference) over the padded
-    inputs + segment ids reproduces the exact unscaled softmax attention
-    on the unpadded shapes.  CPU-runnable — covers the wrapper logic the
-    device golden (scripts/tpu_kernel_goldens.py) exercises end-to-end."""
+def test_flash_sgam_pad_mask_logic_on_cpu(monkeypatch):
+    """The pad/mask wrapper feeding the TPU flash kernel is exact in BOTH
+    masking modes: running the flash module's own jnp reference
+    (mha_reference) over the padded inputs reproduces the exact unscaled
+    softmax attention on the unpadded shapes.  Covers the round-4
+    ``bias``-column mask (default: padded keys get energy exactly -1e4 so
+    their softmax weight flushes to 0.0 — no segment-id machinery) and the
+    round-3 ``segments`` mode.  CPU-runnable — the device golden
+    (scripts/tpu_kernel_goldens.py) exercises the real kernel end-to-end."""
     import jax
     import jax.numpy as jnp
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds, mha_reference)
-    from sradsgan_tpu.ops.sgam_flash import pad_for_kernel
+    from sradsgan_tpu.ops import sgam_flash
 
     rng = np.random.default_rng(11)
-    for n in (300, 640):  # pad 300->384; 640 -> block 512, pad 1024
-        q = jnp.asarray(rng.normal(size=(2, n, 8)), jnp.float32)
-        k = jnp.asarray(rng.normal(size=(2, n, 8)), jnp.float32)
-        v = jnp.asarray(rng.normal(size=(2, n, 64)), jnp.float32)
-        qp, kp, vp, ids, block = pad_for_kernel(q, k, v)
-        assert qp.shape[2] % block == 0 and block % 128 == 0
-        out = mha_reference(qp, kp, vp, None,
-                            segment_ids=SegmentIds(q=ids, kv=ids),
-                            causal=False, sm_scale=1.0)[:, 0, :n, :64]
+    for mode in ("bias", "segments"):
+        monkeypatch.setenv("SRADSGAN_TPU_SGAM_MASK", mode)
+        for n in (300, 640):  # pad 300->384; 640 -> block 512, pad 1024
+            q = jnp.asarray(rng.normal(size=(2, n, 8)), jnp.float32)
+            k = jnp.asarray(rng.normal(size=(2, n, 8)), jnp.float32)
+            v = jnp.asarray(rng.normal(size=(2, n, 64)), jnp.float32)
+            qp, kp, vp, ids, block = pad_for_kernel_checked(
+                sgam_flash, q, k, v, mode)
+            assert qp.shape[2] % block == 0 and block % 128 == 0
+            seg = None if ids is None else SegmentIds(q=ids, kv=ids)
+            out = mha_reference(qp, kp, vp, None, segment_ids=seg,
+                                causal=False, sm_scale=1.0)[:, 0, :n, :64]
 
-        e = jnp.einsum("bqd,bkd->bqk", q, k)
-        ref = jnp.einsum("bqk,bkc->bqc", jax.nn.softmax(e, axis=-1), v)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=1e-4)
+            e = jnp.einsum("bqd,bkd->bqk", q, k)
+            ref = jnp.einsum("bqk,bkc->bqc", jax.nn.softmax(e, axis=-1), v)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=1e-4)
+
+
+def pad_for_kernel_checked(sgam_flash, q, k, v, mode):
+    qp, kp, vp, ids, block = sgam_flash.pad_for_kernel(q, k, v)
+    if mode == "bias":
+        assert ids is None, "bias mode must skip segment ids"
+    else:
+        assert ids is not None
+    return qp, kp, vp, ids, block
+
+
+def test_upsample_convt_formulation_matches_pixelshuffle(monkeypatch):
+    """SRADSGAN_TPU_UPSAMPLE_IMPL=convt: the transposed-conv sub-pixel
+    formulation (ops/pixelshuffle.subpixel_conv_transposed — one dilated
+    conv instead of conv + the bandwidth-bound shuffle transpose copies the
+    round-4 trace surfaced) is exact vs conv+PixelShuffle across the
+    2^n / 3^n scale law, both sharing modes, with an identical param tree."""
+    import jax
+    import jax.numpy as jnp
+    from sradsgan_tpu.nn.blocks import UpsampleHead
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 7, 7, 16)).astype(np.float32))
+    for scale, share in [(2, True), (4, True), (3, False), (9, True)]:
+        monkeypatch.setenv("SRADSGAN_TPU_UPSAMPLE_IMPL", "")
+        m1 = UpsampleHead(16, scale, share_stages=share)
+        p1 = m1.init(jax.random.PRNGKey(0), x)
+        y1 = m1.apply(p1, x)
+        monkeypatch.setenv("SRADSGAN_TPU_UPSAMPLE_IMPL", "convt")
+        m2 = UpsampleHead(16, scale, share_stages=share)
+        p2 = m2.init(jax.random.PRNGKey(0), x)
+        assert jax.tree.structure(p1) == jax.tree.structure(p2)
+        y2 = m2.apply(p1, x)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                                   atol=2e-5)

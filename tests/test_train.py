@@ -304,3 +304,43 @@ def test_train_loop_with_steps_per_call():
     trainer = Trainer(cfg)
     out = trainer.train(num_steps=4)
     assert np.isfinite(out["loss_G"]) and np.isfinite(out["loss_D"])
+
+
+def test_flat_optimizer_matches_per_leaf(monkeypatch):
+    """SRADSGAN_TPU_FLAT_OPT (round 4, default on): raveling params/grads
+    into one vector for Adam + the WGAN weight clip is bit-equivalent to
+    the per-leaf formulation (Adam and clip are elementwise; the reference
+    clips every D param, sradsgan.py:890-892).  The flat path exists
+    because the round-4 device trace showed ~8-9 ms/step of per-parameter
+    op soup (docs/PERF.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(flat):
+        monkeypatch.setenv("SRADSGAN_TPU_FLAT_OPT", "1" if flat else "0")
+        cfg = _tiny_cfg("sradsgan", n_groups=1, n_blocks=1)
+        cfg.data.crop_size = 16
+        cfg.data.test_crop_size = 16
+        trainer = Trainer(cfg)
+        rng = np.random.default_rng(0)
+        batch = {
+            "lr": jnp.asarray(rng.random((8, 8, 8, 3)), jnp.float32),
+            "hr": jnp.asarray(rng.random((8, 16, 16, 3)), jnp.float32),
+            "bc": jnp.asarray(rng.random((8, 16, 16, 3)), jnp.float32),
+        }
+        from sradsgan_tpu.parallel.mesh import shard_batch
+        batch = shard_batch(batch, trainer.mesh)
+        st = trainer.state
+        for _ in range(2):
+            st, m = trainer._jit_step(st, batch, jax.random.PRNGKey(3))
+        return st, m
+
+    s1, m1 = run(True)
+    s0, m0 = run(False)
+    for a, b in zip(jax.tree.leaves(s1.g_params),
+                    jax.tree.leaves(s0.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.d_params),
+                    jax.tree.leaves(s0.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert np.isfinite(float(m1["loss_G"]))
