@@ -14,7 +14,7 @@ timeout 2400 python scripts/tif_inference_run.py \
     --x3 "$CHAIN/x3/SRADSGAN_x3/ckpt_epoch_0" \
     --x9 "$CHAIN/x9/SRADSGAN_x9/ckpt_epoch_0" \
     --outdir /tmp/sradsgan_tif 2>&1 | grep -v WARNING
-echo "tif rc=$?"
+echo "tif rc=${PIPESTATUS[0]}"
 
 log "per-class validate-by-class table (VERDICT item 6)"
 timeout 2400 python scripts/by_class_evidence.py \
