@@ -8,7 +8,10 @@ crops — the reference's published training configuration
 Baseline: the reference repo publishes no machine-readable numbers
 (BASELINE.md); the denominator is an estimate of its single-GPU training
 throughput on the paper-era setup (PyTorch 1.8.1 / CUDA 11.1, one 2080Ti-class
-GPU, README.md:91): ~1.5 it/s x 16 x 216^2 px ~= 1.1 MP/s.
+GPU, README.md:91): ~1.5 it/s x 16 x 216^2 px ~= 1.1 MP/s.  Full derivation
+(step FLOPs from XLA cost analysis x a charitable 73%-of-f32-peak GPU rate;
+the printed multiple is a lower bound): BASELINE.md "Derivation of the
+1.1 MP/s reference-GPU estimate".
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

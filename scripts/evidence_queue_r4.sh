@@ -19,22 +19,22 @@ echo "tif rc=${PIPESTATUS[0]}"
 log "per-class validate-by-class table (VERDICT item 6)"
 timeout 2400 python scripts/by_class_evidence.py \
     "$CHAIN/x4/SRADSGAN_x4/ckpt_epoch_0" 4 2>&1 | grep -v WARNING
-echo "byclass rc=$?"
+echo "byclass rc=${PIPESTATUS[0]}"
 
 log "HAT x4 zoo row (VERDICT item 7 / BASELINE configs[4])"
 timeout 2400 python scripts/zoo_bench.py hat:4 2>&1 | grep -v WARNING
-echo "hat4 rc=$?"
+echo "hat4 rc=${PIPESTATUS[0]}"
 
 log "scene classification rerun with the VGG16 trunk (VERDICT item 8)"
 timeout 2400 python scripts/scene_evidence.py 2>&1 | grep -v WARNING
-echo "scene rc=$?"
+echo "scene rc=${PIPESTATUS[0]}"
 
 log "second-seed bf16-D twin, seed=1, 2000 steps, 5-metric sweeps (item 9)"
 timeout 3600 python scripts/flagship_learning_run.py 2000 seed=1 lpips \
     2>&1 | grep -v WARNING
-echo "twin-f32d rc=$?"
+echo "twin-f32d rc=${PIPESTATUS[0]}"
 timeout 3600 python scripts/flagship_learning_run.py 2000 bf16d seed=1 lpips \
     2>&1 | grep -v WARNING
-echo "twin-bf16d rc=$?"
+echo "twin-bf16d rc=${PIPESTATUS[0]}"
 
 log "queue done"

@@ -271,6 +271,13 @@ class SpatialSelfAttention(nn.Module):
                     "SRADSGAN_TPU_SGAM_IMPL=flash needs a TPU backend "
                     "(and, on a multi-chip mesh, a data mesh the batch "
                     "divides — ops/spmd.py)")
+            # Precondition of the default bias-column mask: real attention
+            # energies must stay |energy| << 1e4 so exp(-1e4 - m)
+            # underflows to exactly 0.0 in f32 (ops/sgam_flash.py).  Here
+            # energy = <q, k> over d=C//8=8 bf16 channels of conv outputs —
+            # O(10) in practice, and bf16 inputs overflow long before 1e4
+            # matters.  If SGAM inputs ever grow unbounded, set
+            # SRADSGAN_TPU_SGAM_MASK=segments (the tested exact fallback).
             out = flash_position_attention(q, k, v).reshape(b, h, w, c)
         elif x.dtype == jnp.bfloat16 and impl == "chunked":
             out = _chunked_attention(q, k, v).reshape(b, h, w, c)

@@ -307,7 +307,9 @@ def test_train_loop_with_steps_per_call():
 
 
 def test_flat_optimizer_matches_per_leaf(monkeypatch):
-    """SRADSGAN_TPU_FLAT_OPT (round 4, default on): raveling params/grads
+    """SRADSGAN_TPU_FLAT_OPT (round 4, opt-in — measured net-negative on
+    wall time, kept as executable documentation; trainer defaults it to
+    '0', docs/PERF.md): raveling params/grads
     into one vector for Adam + the WGAN weight clip is bit-equivalent to
     the per-leaf formulation (Adam and clip are elementwise; the reference
     clips every D param, sradsgan.py:890-892).  The flat path exists
