@@ -58,15 +58,16 @@ def run_scale(ckpt, scale, image, outdir, hr_target=None):
         from PIL import Image
 
         from sradsgan_tpu.metrics.fidelity import (compare_ergas,
-                                                   compare_mpsnr,
-                                                   compare_mssim)
-        hr = np.asarray(Image.open(hr_target).convert("RGB"),
-                        np.float32) / 255.0
+                                                   compare_psnr,
+                                                   compare_ssim)
+        # uint8 protocol, same as _score_pair (reference sradsgan.py:1484-96)
+        hr = np.asarray(Image.open(hr_target).convert("RGB"), np.uint8)
         for tag, p in (("sr", paths["sr"]), ("bicubic", paths["bicubic"])):
-            out = np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
-            row[f"{tag}_psnr"] = round(compare_mpsnr(out, hr), 3)
-            row[f"{tag}_ssim"] = round(compare_mssim(out, hr), 4)
-            row[f"{tag}_ergas"] = round(compare_ergas(out, hr, scale), 3)
+            out = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+            row[f"{tag}_psnr"] = round(compare_psnr(hr, out), 3)
+            row[f"{tag}_ssim"] = round(compare_ssim(hr, out), 4)
+            row[f"{tag}_ergas"] = round(compare_ergas(hr, out, scale=scale),
+                                        3)
     print(json.dumps(row), flush=True)
     return row
 

@@ -244,3 +244,41 @@ def test_upsample_convt_formulation_matches_pixelshuffle(monkeypatch):
         y2 = m2.apply(p1, x)
         np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
                                    atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["groups", "blocks"])
+def test_scan_groups_formulation_matches_unrolled(monkeypatch, mode):
+    """SRADSGAN_TPU_SCAN_GROUPS: the nn.scan-stacked formulation (round-5
+    structural experiment against the RAB chain, docs/PERF.md) computes
+    the identical function — unrolled params repack losslessly into the
+    stacked tree (to_scan_params), outputs match to fp tolerance, and the
+    round trip through from_scan_params is exact."""
+    from sradsgan_tpu.models.sradsgan import (SRADSGANGenerator,
+                                              from_scan_params,
+                                              to_scan_params)
+
+    n_groups, n_blocks = 3, 2
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 8, 8, 3)).astype(np.float32))
+
+    monkeypatch.setenv("SRADSGAN_TPU_SCAN_GROUPS", "")
+    m_ref = SRADSGANGenerator(scale=2, n_groups=n_groups, n_blocks=n_blocks)
+    p_ref = m_ref.init(jax.random.PRNGKey(0), x, train=False)
+    y_ref = m_ref.apply(p_ref, x, train=False)
+
+    monkeypatch.setenv("SRADSGAN_TPU_SCAN_GROUPS", mode)
+    m_scan = SRADSGANGenerator(scale=2, n_groups=n_groups, n_blocks=n_blocks)
+    p_scan_init = m_scan.init(jax.random.PRNGKey(0), x, train=False)
+    p_scan = {"params": to_scan_params(p_ref["params"], n_groups, n_blocks,
+                                       blocks=(mode == "blocks"))}
+    assert (jax.tree.structure(p_scan_init) == jax.tree.structure(p_scan))
+    for a, b in zip(jax.tree.leaves(p_scan_init), jax.tree.leaves(p_scan)):
+        assert a.shape == b.shape
+    y_scan = m_scan.apply(p_scan, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_ref),
+                               atol=2e-5)
+
+    back = from_scan_params(p_scan["params"], n_groups, n_blocks,
+                            blocks=(mode == "blocks"))
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(p_ref["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
