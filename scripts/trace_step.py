@@ -25,7 +25,7 @@ import time
 import numpy as np
 
 
-def capture(logdir: str):
+def capture(logdir: str, model: str = "sradsgan:4"):
     import jax
     from sradsgan_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -33,13 +33,18 @@ def capture(logdir: str):
     from sradsgan_tpu.parallel.mesh import shard_batch
     from sradsgan_tpu.train.trainer import Trainer
 
-    cfg = config_for_model("sradsgan", 4)
+    name, _, scale = model.partition(":")
+    scale = int(scale or 4)
+    cfg = config_for_model(name, scale)
     cfg.data.synthetic = True
+    cfg.data.crop_size = 216
+    cfg.data.batch_size = 16
     cfg.save_dir = "/tmp/sradsgan_trace_run"
     trainer = Trainer(cfg)
     rng = np.random.default_rng(0)
+    lr = 216 // scale
     batch = shard_batch({
-        "lr": rng.random((16, 54, 54, 3)).astype(np.float32),
+        "lr": rng.random((16, lr, lr, 3)).astype(np.float32),
         "hr": rng.random((16, 216, 216, 3)).astype(np.float32),
         "bc": rng.random((16, 216, 216, 3)).astype(np.float32),
     }, trainer.mesh)
@@ -103,8 +108,10 @@ def analyze(logdir: str, top: int = 40):
 
 if __name__ == "__main__":
     logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sradsgan_trace"
+    model = next((a.split("=", 1)[1] for a in sys.argv
+                  if a.startswith("--model=")), "sradsgan:4")
     if "--analyze-only" not in sys.argv:
         t0 = time.time()
-        capture(logdir)
+        capture(logdir, model)
         print(f"# capture wall {time.time()-t0:.0f}s")
     analyze(logdir)
