@@ -35,6 +35,30 @@ from sradsgan_tpu.nn.blocks import ConvBlock, UpsampleHead
 trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
 
+def _attn_impl() -> str:
+    """Round-5 HAT attention formulation experiment (opt-in).
+
+    ``SRADSGAN_TPU_HAT_ATTN=nt`` keeps q/k/v in (B, N, heads, d) layout and
+    lets dot_general carry the head axis as a batch dim — no physical
+    (3, B, H, N, d) transpose of the fused qkv tensor and no output
+    transpose; same math (equivalence-tested, tests/test_models.py).
+    """
+    import os
+    return os.environ.get("SRADSGAN_TPU_HAT_ATTN", "ref")
+
+
+def _softmax_dtype(q_dtype):
+    """``SRADSGAN_TPU_HAT_SOFTMAX=bf16`` keeps the attention logits and
+    softmax in the compute dtype instead of upcasting to f32 — halves the
+    HBM traffic of the (B_, heads, N, N) logit chain, at bf16 softmax
+    precision (windows are N=81 so the sum is short; opt-in, measured
+    before adoption)."""
+    import os
+    if os.environ.get("SRADSGAN_TPU_HAT_SOFTMAX", "f32") == "bf16":
+        return q_dtype
+    return jnp.float32
+
+
 # ---------------------------------------------------------------------------
 # Static (numpy) index/mask precomputation — reference hat.py:763-822
 # ---------------------------------------------------------------------------
@@ -161,8 +185,6 @@ class WindowAttention(nn.Module):
         h = self.num_heads
         d = c // h
         qkv = nn.Dense(3 * c, kernel_init=trunc02, dtype=self.dtype)(x)
-        qkv = qkv.reshape(b_, n, 3, h, d).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
 
         table = self.param(
             "relative_position_bias_table", trunc02,
@@ -170,11 +192,32 @@ class WindowAttention(nn.Module):
         idx = rpi_sa(self.window)  # static numpy indices
         bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
 
+        sm_dtype = _softmax_dtype(qkv.dtype)
+        if _attn_impl() == "nt":
+            # transpose-free: slice the fused qkv, keep (B_, N, h, d)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(b_, n, h, d)
+            k = k.reshape(b_, n, h, d)
+            v = v.reshape(b_, n, h, d)
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q * (d ** -0.5), k)
+            attn = attn.astype(sm_dtype) + bias[None].astype(sm_dtype)
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = (attn.reshape(b_ // nw, nw, h, n, n)
+                        + mask[None, :, None].astype(sm_dtype))
+                attn = attn.reshape(b_, h, n, n)
+            attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b_, n, c)
+            return nn.Dense(c, kernel_init=trunc02, dtype=self.dtype)(out)
+
+        qkv = qkv.reshape(b_, n, 3, h, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
         attn = jnp.einsum("bhqd,bhkd->bhqk", q * (d ** -0.5), k)
-        attn = attn.astype(jnp.float32) + bias[None]
+        attn = attn.astype(sm_dtype) + bias[None].astype(sm_dtype)
         if mask is not None:
             nw = mask.shape[0]
-            attn = attn.reshape(b_ // nw, nw, h, n, n) + mask[None, :, None]
+            attn = (attn.reshape(b_ // nw, nw, h, n, n)
+                    + mask[None, :, None].astype(sm_dtype))
             attn = attn.reshape(b_, h, n, n)
         attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
@@ -273,22 +316,32 @@ class OCAB(nn.Module):
         vw = overlap_windows(v)
 
         b_ = qw.shape[0]
-        qh = qw.reshape(b_, win * win, heads, d).transpose(0, 2, 1, 3)
-        kh = kw.reshape(b_, owin * owin, heads, d).transpose(0, 2, 1, 3)
-        vh = vw.reshape(b_, owin * owin, heads, d).transpose(0, 2, 1, 3)
-
         table = self.param(
             "relative_position_bias_table", trunc02,
             ((win + owin - 1) ** 2, heads), jnp.float32)
         idx = rpi_oca(win, self.overlap_ratio)
         bias = table[idx.reshape(-1)].reshape(win * win, owin * owin,
                                               heads).transpose(2, 0, 1)
+        sm_dtype = _softmax_dtype(qw.dtype)
 
-        attn = jnp.einsum("bhqd,bhkd->bhqk", qh * (d ** -0.5), kh)
-        attn = attn.astype(jnp.float32) + bias[None]
-        attn = jax.nn.softmax(attn, axis=-1).astype(qh.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
-        out = out.transpose(0, 2, 1, 3).reshape(b_, win * win, c)
+        if _attn_impl() == "nt":
+            qh = qw.reshape(b_, win * win, heads, d)
+            kh = kw.reshape(b_, owin * owin, heads, d)
+            vh = vw.reshape(b_, owin * owin, heads, d)
+            attn = jnp.einsum("bqhd,bkhd->bhqk", qh * (d ** -0.5), kh)
+            attn = attn.astype(sm_dtype) + bias[None].astype(sm_dtype)
+            attn = jax.nn.softmax(attn, axis=-1).astype(qh.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
+            out = out.reshape(b_, win * win, c)
+        else:
+            qh = qw.reshape(b_, win * win, heads, d).transpose(0, 2, 1, 3)
+            kh = kw.reshape(b_, owin * owin, heads, d).transpose(0, 2, 1, 3)
+            vh = vw.reshape(b_, owin * owin, heads, d).transpose(0, 2, 1, 3)
+            attn = jnp.einsum("bhqd,bhkd->bhqk", qh * (d ** -0.5), kh)
+            attn = attn.astype(sm_dtype) + bias[None].astype(sm_dtype)
+            attn = jax.nn.softmax(attn, axis=-1).astype(qh.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+            out = out.transpose(0, 2, 1, 3).reshape(b_, win * win, c)
         out = window_reverse(out.reshape(-1, win, win, c), win, hgt, wdt)
         out = nn.Dense(c, kernel_init=trunc02, dtype=self.dtype)(out)
 

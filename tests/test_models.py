@@ -81,6 +81,34 @@ def test_hat_default_window_rule():
     assert HAT(scale=9)._window() == 8
 
 
+def test_hat_nt_attention_matches_ref(monkeypatch):
+    """SRADSGAN_TPU_HAT_ATTN=nt (round-5 HAT perf candidate, docs/PERF.md):
+    the transpose-free attention layout computes the identical function on
+    the SAME param tree — shifted windows, masks, OCAB included."""
+    from sradsgan_tpu.models.hat import HAT
+
+    # window auto-rule gives 9; 18x18 input -> 4 windows, depth 2
+    # exercises the shift=4 masked path; one OCAB per group.
+    model = HAT(scale=4, embed_dim=12, depths=(2,), num_heads=(2,))
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (2, 18, 18, 3)).astype(np.float32))
+
+    monkeypatch.setenv("SRADSGAN_TPU_HAT_ATTN", "ref")
+    params = model.init(jax.random.PRNGKey(0), x)
+    y_ref = model.apply(params, x)
+
+    monkeypatch.setenv("SRADSGAN_TPU_HAT_ATTN", "nt")
+    y_nt = model.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_nt), np.asarray(y_ref),
+                               atol=2e-5)
+
+    # bf16-softmax flag: runs and stays close to the f32-softmax output
+    monkeypatch.setenv("SRADSGAN_TPU_HAT_SOFTMAX", "bf16")
+    y_bf = model.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_bf), np.asarray(y_ref),
+                               atol=5e-2)
+
+
 def test_make_act_prelu_is_learned():
     """make_act('prelu') must create a real PReLU param, not silently
     return ReLU (torch nn.PReLU: one learned slope, init 0.25)."""
