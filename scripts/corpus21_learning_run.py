@@ -26,34 +26,27 @@ import time
 import numpy as np
 
 
-def build_train_split(per_class=24, size=216):
-    """Disjoint train images from the test corpus's generative family."""
+def build_train_split(per_class=24, size=216, v=2):
+    """Disjoint train images from the test corpus's generative family
+    (same class-conditional distribution, different seed/instances)."""
     from PIL import Image
 
-    from by_class_evidence import UCM_CLASSES
+    from by_class_evidence import UCM_CLASSES, synth_image
 
     rng = np.random.default_rng(1234)  # test corpus uses seed 7
     root = "/tmp/ucm21/TRAIN"
-    yy, xx = np.meshgrid(np.linspace(0, 1, size), np.linspace(0, 1, size),
-                         indexing="ij")
     for ci, name in enumerate(UCM_CLASSES):
         d = os.path.join(root, name)
         os.makedirs(d, exist_ok=True)
-        hue = np.array([ci / 21.0, (ci * 5 % 21) / 21.0, 1 - ci / 21.0])
-        freq = 1.5 + ci * 0.7
         for i in range(per_class):
-            ph = rng.random(2) * 6.28
-            tex = (0.45 + 0.2 * np.sin(2 * np.pi * freq * xx + ph[0])
-                   + 0.2 * np.cos(2 * np.pi * freq * yy + ph[1])
-                   + 0.15 * np.sin(2 * np.pi * freq * (xx + yy)))
-            img = np.clip(tex[..., None] * hue + 0.12 *
-                          rng.random((size, size, 3)), 0, 1)
+            img = synth_image(rng, ci, size, v=v)
             Image.fromarray((img * 255).astype(np.uint8)).save(
                 os.path.join(d, f"{name}{i:02d}.png"))
     return root
 
 
-def main(total_steps=3000, val_at=(0, 250, 500, 1000, 2000, 3000)):
+def main(total_steps=3000, val_at=(0, 250, 500, 1000, 1500, 2000, 3000),
+         init_from=None, lr=None, save_dir="/tmp/sradsgan_corpus21"):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from by_class_evidence import build_corpus
 
@@ -79,9 +72,16 @@ def main(total_steps=3000, val_at=(0, 250, 500, 1000, 2000, 3000)):
     cfg.data.test_crop_size = 216
     cfg.data.batch_size = 16
     cfg.data.test_batch_size = 4
-    cfg.save_dir = "/tmp/sradsgan_corpus21"
+    cfg.save_dir = save_dir
+    if init_from:
+        # continuation at decayed lr — the reference's step-decay protocol
+        # (model/sradsgan.py lr schedule); optimizer state restarts fresh.
+        cfg.init_from = init_from
+    if lr is not None:
+        cfg.optim.lr = lr
     print(json.dumps({"config": "sradsgan_x4 on 21-class corpus",
                       "d_bf16": cfg.d_bf16, "val_lpips": True,
+                      "init_from": init_from, "lr": cfg.optim.lr,
                       "steps": total_steps}), flush=True)
     trainer = Trainer(cfg)
 
@@ -122,4 +122,13 @@ def main(total_steps=3000, val_at=(0, 250, 500, 1000, 2000, 3000)):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 3000)
+    kw = {}
+    for a in sys.argv[2:]:
+        key, _, val = a.partition("=")
+        if key == "init_from":
+            kw["init_from"] = val
+        elif key == "lr":
+            kw["lr"] = float(val)
+        elif key == "save_dir":
+            kw["save_dir"] = val
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 3000, **kw)
