@@ -89,7 +89,7 @@ def main(steps=600):
     from sradsgan_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
     os.makedirs("/tmp/sradsgan_chain", exist_ok=True)
-    val_at = (150, 300, steps)
+    val_at = tuple(sorted({150, 300, 600, steps // 2, steps}))
 
     results = {}
     ckpt, results["x2"] = run_one(2, steps, val_at)
