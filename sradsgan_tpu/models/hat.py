@@ -36,23 +36,35 @@ trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
 
 def _attn_impl() -> str:
-    """Round-5 HAT attention formulation experiment (opt-in).
+    """Round-5 HAT attention formulation (docs/PERF.md round-5 campaign).
 
-    ``SRADSGAN_TPU_HAT_ATTN=nt`` keeps q/k/v in (B, N, heads, d) layout and
-    lets dot_general carry the head axis as a batch dim — no physical
-    (3, B, H, N, d) transpose of the fused qkv tensor and no output
-    transpose; same math (equivalence-tested, tests/test_models.py).
+    Default ``nt``: q/k/v stay in (B, N, heads, d) layout and dot_general
+    carries the head axis as a batch dim — no physical (3, B, H, N, d)
+    transpose of the fused qkv tensor and no output transpose.  Exactly
+    the same math on the same param tree (equivalence-tested,
+    tests/test_models.py); the HAT ×4 device trace showed 57 ms/step of
+    pure layout copies, and this removes the big ones: 222.9 → 179.1
+    ms/step measured on hardware.  ``SRADSGAN_TPU_HAT_ATTN=ref`` restores
+    the transposed formulation.
     """
     import os
-    return os.environ.get("SRADSGAN_TPU_HAT_ATTN", "ref")
+    return os.environ.get("SRADSGAN_TPU_HAT_ATTN", "nt")
 
 
 def _softmax_dtype(q_dtype):
-    """``SRADSGAN_TPU_HAT_SOFTMAX=bf16`` keeps the attention logits and
-    softmax in the compute dtype instead of upcasting to f32 — halves the
-    HBM traffic of the (B_, heads, N, N) logit chain, at bf16 softmax
-    precision (windows are N=81 so the sum is short; opt-in, measured
-    before adoption)."""
+    """Attention-softmax accumulation dtype (default f32, exact).
+
+    ``SRADSGAN_TPU_HAT_SOFTMAX=bf16`` keeps the (B_, heads, N, N) logit
+    chain in the compute dtype — a measured −15.6% step time on the ×4
+    train step (179.1 → 151.1 ms, docs/PERF.md round-5 HAT campaign) —
+    but the same-seed blessing twins on TWO seeds showed a systematic
+    endpoint quality cost (−0.24 / −0.22 dB PSNR at 600 steps, ERGAS
+    worse on both; docs/VALIDATION.md round 5), so by the repo's
+    blessing criterion (the bf16-D standard: no systematic endpoint gap)
+    it stays OPT-IN: a documented speed/quality trade-off, not the
+    default.  The reference trains HAT with f32 softmax semantics
+    (model/hat.py attention path).
+    """
     import os
     if os.environ.get("SRADSGAN_TPU_HAT_SOFTMAX", "f32") == "bf16":
         return q_dtype

@@ -82,9 +82,10 @@ def test_hat_default_window_rule():
 
 
 def test_hat_nt_attention_matches_ref(monkeypatch):
-    """SRADSGAN_TPU_HAT_ATTN=nt (round-5 HAT perf candidate, docs/PERF.md):
-    the transpose-free attention layout computes the identical function on
-    the SAME param tree — shifted windows, masks, OCAB included."""
+    """SRADSGAN_TPU_HAT_ATTN=nt (round-5 default, docs/PERF.md HAT
+    campaign): the transpose-free attention layout computes the identical
+    function on the SAME param tree — shifted windows, masks, OCAB
+    included; `=ref` restores the transposed formulation."""
     from sradsgan_tpu.models.hat import HAT
 
     # window auto-rule gives 9; 18x18 input -> 4 windows, depth 2
