@@ -110,6 +110,22 @@ def test_hat_nt_attention_matches_ref(monkeypatch):
                                atol=5e-2)
 
 
+def test_hat_attention_defaults(monkeypatch):
+    """Pin the round-5 HAT defaults: nt layout (exact math, −19.6%
+    measured) is ON; bf16 softmax is OFF — it FAILED its two-seed twin
+    bless (systematic −0.22 dB endpoint gap, docs/VALIDATION.md round 5)
+    and must stay opt-in."""
+    from sradsgan_tpu.models.hat import _attn_impl, _softmax_dtype
+
+    monkeypatch.delenv("SRADSGAN_TPU_HAT_ATTN", raising=False)
+    monkeypatch.delenv("SRADSGAN_TPU_HAT_SOFTMAX", raising=False)
+    assert _attn_impl() == "nt"
+    assert _softmax_dtype(jnp.bfloat16) == jnp.float32
+    assert _softmax_dtype(jnp.float32) == jnp.float32
+    monkeypatch.setenv("SRADSGAN_TPU_HAT_SOFTMAX", "bf16")
+    assert _softmax_dtype(jnp.bfloat16) == jnp.bfloat16
+
+
 def test_make_act_prelu_is_learned():
     """make_act('prelu') must create a real PReLU param, not silently
     return ReLU (torch nn.PReLU: one learned slope, init 0.25)."""
