@@ -15,6 +15,12 @@ Reuses the exact corpus splits of scripts/corpus21_learning_run.py
 (train seed 1234 / test seed 7, disjoint) so tables are comparable with
 the round-5 ×4 learning run.
 
+Resumable (round 5): the first two executions of this run were lost to
+container restarts that wiped /tmp, so all outputs (per-run curves,
+checkpoints, the XLA compile cache) now live under /root/repo/.chain_v2
+which survives restarts; a completed scale is skipped on relaunch via its
+``<tag>.done.json`` marker (curve + checkpoint path inside).
+
 Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/chain_v2_run.py [steps_per_scale]
 """
 import json
@@ -22,8 +28,22 @@ import os
 import sys
 import time
 
+PERSIST = "/root/repo/.chain_v2"
+
 
 def run_one(scale, steps, val_at, init_from=None, tag=None):
+    tag = tag or f"x{scale}"
+    marker = os.path.join(PERSIST, f"{tag}.done.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            done = json.load(f)
+        print(json.dumps({"tag": tag, "resumed": True,
+                          "ckpt": done["ckpt"]}), flush=True)
+        return done["ckpt"], done["curve"]
+    return _run_one(scale, steps, val_at, init_from, tag, marker)
+
+
+def _run_one(scale, steps, val_at, init_from, tag, marker):
     import jax
     import numpy as np
 
@@ -32,7 +52,6 @@ def run_one(scale, steps, val_at, init_from=None, tag=None):
     from sradsgan_tpu.data.loader import DataLoader, device_prefetch
     from sradsgan_tpu.train.trainer import Trainer
 
-    tag = tag or f"x{scale}"
     cfg = config_for_model("sradsgan", scale)
     cfg.data.data_dir = "/tmp/ucm21"
     cfg.data.train_datasets = ("TRAIN",)
@@ -42,7 +61,7 @@ def run_one(scale, steps, val_at, init_from=None, tag=None):
     cfg.data.test_crop_size = 216
     cfg.data.batch_size = 16
     cfg.data.test_batch_size = 4
-    cfg.save_dir = f"/tmp/sradsgan_chain_v2/{tag}"
+    cfg.save_dir = os.path.join(PERSIST, tag)
     cfg.init_from = init_from
     trainer = Trainer(cfg)
 
@@ -81,6 +100,8 @@ def run_one(scale, steps, val_at, init_from=None, tag=None):
                       "wall_s": round(time.time() - t0, 1), **
                       {k: round(v, 4) for k, v in m.items()}}), flush=True)
     ckpt = trainer.save_checkpoint(0)
+    with open(marker, "w") as f:
+        json.dump({"ckpt": ckpt, "curve": curve}, f)
     return ckpt, curve
 
 
@@ -92,9 +113,11 @@ def main(steps=1500):
     build_corpus()          # test split: /tmp/ucm21/UCMerced (seed 7)
     build_train_split()     # train split: /tmp/ucm21/TRAIN (seed 1234)
 
+    os.environ.setdefault("SRADSGAN_TPU_COMPILE_CACHE",
+                          os.path.join(PERSIST, "xla_cache"))
     from sradsgan_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
-    os.makedirs("/tmp/sradsgan_chain_v2", exist_ok=True)
+    os.makedirs(PERSIST, exist_ok=True)
     val_at = tuple(sorted({150, 300, 600, 1000, steps // 2, steps}))
 
     results = {}
@@ -115,9 +138,10 @@ def main(steps=1500):
 
     results["checkpoints"] = {"x3": ckpt3, "x4": ckpt4, "x8": ckpt8,
                               "x9": ckpt9}
-    with open("/tmp/sradsgan_chain_v2/curves.json", "w") as f:
+    out = os.path.join(PERSIST, "curves.json")
+    with open(out, "w") as f:
         json.dump(results, f, indent=1)
-    print("curves: /tmp/sradsgan_chain_v2/curves.json", flush=True)
+    print("curves: " + out, flush=True)
 
 
 if __name__ == "__main__":
